@@ -1,18 +1,25 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use
-``xla_force_host_platform_device_count=8`` (see repo guidelines).  The real-TPU
-path is exercised by bench.py / __graft_entry__.py instead.
+``xla_force_host_platform_device_count=8``.  NOTE: jax is already imported at
+interpreter startup by the axon sitecustomize (TPU tunnel), so env vars alone
+are too late — we must update jax.config directly to force the CPU backend.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# XLA_FLAGS is consumed lazily when the CPU client is created, which has not
+# happened yet at conftest time, so the env mutation above still takes effect.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
