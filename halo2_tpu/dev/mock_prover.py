@@ -40,7 +40,9 @@ class MockProver:
 
     @classmethod
     def run(cls, k: int, circuit, instances: list, F: type[PrimeField]):
-        cs, _config, assignment = run_synthesis(circuit, k, instances, witness=True)
+        cs, _config, assignment = run_synthesis(
+            circuit, k, instances, witness=True, field=F
+        )
         finalized = assignment.finalize()
         return cls(cs, assignment, finalized, F)
 

@@ -126,12 +126,18 @@ class Region:
     ) -> AssignedCell:
         assert instance.kind == ColumnKind.INSTANCE
         col_vals = self._a.instances[instance.index]
-        if row >= len(col_vals):
-            # reference relies on this failing (and being swallowed) for
-            # instance columns shorter than the hardcoded copy count
+        if row >= self._a.n:
+            # halo2 pads instance columns to n rows (shorter rows read as
+            # zero Padding), so BoundsFailure only triggers past n — this is
+            # what lets the hardcoded 1000-row copy in the reference's
+            # less_than chip succeed against an 800-row instance
             # (src/chips/less_than.rs:71, src/circuits/less_than.rs:36)
-            raise BoundsError(f"instance row {row} out of range ({len(col_vals)})")
-        v = Value.known(col_vals[row]) if self._a.witness else Value.unknown()
+            raise BoundsError(f"instance row {row} out of range (n={self._a.n})")
+        if row < len(col_vals):
+            padded = col_vals[row]
+        else:
+            padded = self._a.field.zero() if self._a.field is not None else 0
+        v = Value.known(padded) if self._a.witness else Value.unknown()
         cell = self.assign_advice(annotation, advice, offset, v)
         self._a.copies.append((Cell(None, instance, row), cell._cell))
         return cell
@@ -184,14 +190,17 @@ class Assignment:
         instances: list,
         witness: bool = True,
         qualified_region_names: bool = False,
+        field=None,
     ):
         self.cs = cs
         self.k = k
         self.n = 1 << k
         self.witness = witness
         self.qualified_region_names = qualified_region_names
-        # normalize instance values to canonical ints
-        self.instances = [[int(v) for v in col] for col in instances]
+        self.field = field  # host PrimeField class, for instance padding values
+        # instance values kept as given (field elements or ints); finalize
+        # normalizes via int()
+        self.instances = [list(col) for col in instances]
         if len(self.instances) < cs.num_instance:
             self.instances += [[] for _ in range(cs.num_instance - len(self.instances))]
         self.regions: list[RegionData] = []
@@ -267,7 +276,7 @@ class Assignment:
             vals = self.instances[i] if i < len(self.instances) else []
             if len(vals) > usable:
                 raise SynthesisError("instance column longer than usable rows")
-            instance_cols.append(list(vals) + [0] * (n - len(vals)))
+            instance_cols.append([int(v) for v in vals] + [0] * (n - len(vals)))
 
         copies = [
             (resolve(a), resolve(b)) for a, b in self.copies + constant_copies
@@ -316,10 +325,16 @@ def run_synthesis(
     k: int,
     instances: list,
     witness: bool = True,
+    field=None,
 ) -> tuple[ConstraintSystem, object, Assignment]:
     """configure + synthesize a circuit, returning (cs, config, assignment)."""
     cs = ConstraintSystem()
-    config = type(circuit).configure(cs)
-    assignment = Assignment(cs, k, instances, witness=witness)
+    # circuits whose shape depends on runtime parameters (Rust const generics)
+    # define an instance-level configure_with; others use the classmethod
+    if hasattr(circuit, "configure_with"):
+        config = circuit.configure_with(cs)
+    else:
+        config = type(circuit).configure(cs)
+    assignment = Assignment(cs, k, instances, witness=witness, field=field)
     circuit.synthesize(config, assignment.layouter())
     return cs, config, assignment
