@@ -1,0 +1,275 @@
+"""Device (TPU) BN254 G1 arithmetic: batched Jacobian ops + Pippenger MSM.
+
+The MSM replaces halo2's CPU Pippenger inside `KZGCommitmentScheme` commits
+(reference src/circuits/utils.rs:40-48, SURVEY.md §3.2 "HOT: MSM points/sec").
+TPU-native shape: window digits from canonical limbs, per-window sort by
+digit, segmented associative-scan bucket accumulation (data-dependent scatter
+is resolved by sort, keeping device code static-shaped), log-depth suffix-sum
+bucket reduction, and a Horner window combine of c doublings per window.
+
+Points are pytrees {x, y, z} of (16, *B) Montgomery limb arrays; z == 0 marks
+infinity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field.device import DeviceField, get_device_field
+from ..field.params import BN254_FQ, LIMB_BITS
+
+_DF = None
+
+
+def df() -> DeviceField:
+    global _DF
+    if _DF is None:
+        _DF = get_device_field(BN254_FQ)
+    return _DF
+
+
+def jac(x, y, z):
+    return {"x": x, "y": y, "z": z}
+
+
+def jac_infinity(batch=()):
+    d = df()
+    return jac(d.zeros(batch), d.one_mont(batch), d.zeros(batch))
+
+
+def jac_from_affine(x, y):
+    """x, y: (16, *B) Montgomery; (0,0) treated as infinity."""
+    d = df()
+    inf = d.is_zero(x) & d.is_zero(y)
+    z = d.select(inf, d.zeros(x.shape[1:]), d.one_mont(x.shape[1:]))
+    return jac(x, y, z)
+
+
+def is_infinity(p):
+    return df().is_zero(p["z"])
+
+
+def jac_neg(p):
+    return jac(p["x"], df().neg(p["y"]), p["z"])
+
+
+def jac_double(p):
+    """dbl-2009-l for a=0: 3M + 4S + ..."""
+    d = df()
+    x, y, z = p["x"], p["y"], p["z"]
+    a = d.square(x)
+    b = d.square(y)
+    c = d.square(b)
+    t = d.square(d.add(x, b))
+    dd = d.double(d.sub(d.sub(t, a), c))
+    e = d.add(d.double(a), a)
+    f = d.square(e)
+    x3 = d.sub(f, d.double(dd))
+    y3 = d.sub(d.mul(e, d.sub(dd, x3)), d.double(d.double(d.double(c))))
+    z3 = d.double(d.mul(y, z))
+    # doubling a point with y=0 or infinity gives infinity (z3 = 0) naturally
+    return jac(x3, y3, z3)
+
+
+def jac_add(p, q):
+    """Complete Jacobian addition via add-2007-bl + exception selects."""
+    d = df()
+    x1, y1, z1 = p["x"], p["y"], p["z"]
+    x2, y2, z2 = q["x"], q["y"], q["z"]
+    z1z1 = d.square(z1)
+    z2z2 = d.square(z2)
+    u1 = d.mul(x1, z2z2)
+    u2 = d.mul(x2, z1z1)
+    s1 = d.mul(d.mul(y1, z2), z2z2)
+    s2 = d.mul(d.mul(y2, z1), z1z1)
+    h = d.sub(u2, u1)
+    r = d.sub(s2, s1)
+
+    hh = d.square(h)
+    i = d.double(d.double(hh))  # 4h^2 — (2h)^2 variant
+    j = d.mul(h, i)
+    rr = d.double(r)
+    v = d.mul(u1, i)
+    x3 = d.sub(d.sub(d.square(rr), j), d.double(v))
+    y3 = d.sub(d.mul(rr, d.sub(v, x3)), d.double(d.mul(s1, j)))
+    z3 = d.mul(d.double(d.mul(z1, z2)), h)
+
+    h_zero = d.is_zero(h)
+    r_zero = d.is_zero(r)
+    p_inf = d.is_zero(z1)
+    q_inf = d.is_zero(z2)
+
+    dbl = jac_double(p)
+    same = h_zero & r_zero & ~p_inf & ~q_inf       # P == Q -> double
+    opposite = h_zero & ~r_zero & ~p_inf & ~q_inf  # P == -Q -> infinity
+
+    def sel(mask, a, b):
+        return d.select(mask, a, b)
+
+    out = jac(x3, y3, z3)
+    out = {k: sel(same, dbl[k], out[k]) for k in out}
+    inf = jac_infinity(x3.shape[1:])
+    out = {k: sel(opposite, inf[k], out[k]) for k in out}
+    out = {k: sel(p_inf, q[k], out[k]) for k in out}
+    out = {k: sel(q_inf, p[k], out[k]) for k in out}
+    return out
+
+
+def jac_to_affine(p):
+    """Batch-normalize to affine (Montgomery); infinity -> (0, 0)."""
+    d = df()
+    zinv = d.inv(p["z"])
+    zinv2 = d.square(zinv)
+    x = d.mul(p["x"], zinv2)
+    y = d.mul(p["y"], d.mul(zinv2, zinv))
+    inf = d.is_zero(p["z"])
+    zero = d.zeros(x.shape[1:])
+    return d.select(inf, zero, x), d.select(inf, zero, y)
+
+
+def scalar_mul_batched(points, scalar_bits):
+    """points: jac pytree (16, N); scalar_bits: (nbits, N) uint32 0/1 —
+    per-point double-and-add, batched over N (LSB first)."""
+
+    def body(carry, bits):
+        acc, base = carry
+        added = jac_add(acc, base)
+        acc = {k: df().select(bits != 0, added[k], acc[k]) for k in acc}
+        base = jac_double(base)
+        return (acc, base), None
+
+    n = points["x"].shape[-1]
+    (acc, _), _ = jax.lax.scan(body, (jac_infinity((n,)), points), scalar_bits)
+    return acc
+
+
+# ---------------------------------------------------------------------- MSM
+WINDOW_BITS = 8
+NUM_WINDOWS = 256 // WINDOW_BITS  # 32
+BUCKETS = 1 << WINDOW_BITS
+
+
+def _digits_from_limbs(scalars_canonical):
+    """(16, N) canonical 16-bit limbs -> (NUM_WINDOWS, N) uint32 byte digits."""
+    lo = scalars_canonical & np.uint32(0xFF)
+    hi = (scalars_canonical >> np.uint32(8)) & np.uint32(0xFF)
+    # limb j contributes windows 2j (lo byte) and 2j+1 (hi byte)
+    return jnp.stack([lo, hi], axis=1).reshape(32, -1)
+
+
+def _segmented_bucket_sums(points, digits):
+    """Sum points per digit value via sort + segmented scan.
+
+    points: jac pytree (16, N); digits: (N,) int32.
+    Returns bucket sums as jac pytree (16, BUCKETS).
+    """
+    d = df()
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    sd = digits[order]
+    sp = {k: v[:, order] for k, v in points.items()}
+
+    # head flag: first element of each equal-digit run
+    heads = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+
+    # segmented inclusive scan, Hillis-Steele form: log2(n) steps, each ONE
+    # vectorized jac_add over the whole row (the step body compiles once
+    # inside the fori_loop — this is what keeps the XLA graph small)
+    idx = jnp.arange(n)
+
+    def hs_step(s, carry):
+        acc, blocked = carry
+        dshift = jnp.left_shift(1, s)
+        prev = {k: jnp.roll(v, dshift, axis=-1) for k, v in acc.items()}
+        prev_blocked = jnp.roll(blocked, dshift)
+        oob = idx < dshift  # no left neighbor
+        summed = jac_add(acc, prev)
+        take = blocked | oob  # segment boundary inside the window: keep own acc
+        acc = {k: d.select(take, acc[k], summed[k]) for k in acc}
+        blocked = blocked | (prev_blocked & ~oob)
+        return acc, blocked
+
+    acc, _ = jax.lax.fori_loop(0, max(n - 1, 1).bit_length(), hs_step, (sp, heads))
+
+    # last element of each run holds the run total
+    tails = jnp.concatenate([sd[1:] != sd[:-1], jnp.ones((1,), bool)])
+    # scatter run totals into bucket slots (tail digits are unique; non-tails
+    # park at a discarded overflow slot)
+    slot = jnp.where(tails, sd, BUCKETS)
+    inf = jac_infinity((BUCKETS + 1,))
+    buckets = {}
+    for k in ("x", "y", "z"):
+        buckets[k] = inf[k].at[:, slot].set(acc[k], mode="drop")[:, :BUCKETS]
+    return buckets
+
+
+def _bucket_reduce(buckets):
+    """sum_{j>=1} j * B_j = sum of suffix sums; log-depth Hillis-Steele scans."""
+    assert BUCKETS & (BUCKETS - 1) == 0
+    d = df()
+    inf = jac_infinity((BUCKETS,))
+    mask = jnp.arange(BUCKETS) == 0  # digit 0 contributes nothing
+    buckets = {k: d.select(mask, inf[k], buckets[k]) for k in buckets}
+
+    idx = jnp.arange(BUCKETS)
+
+    def prefix_scan(pts):
+        """Inclusive prefix sum over the bucket axis (one add per step)."""
+
+        def step(s, acc):
+            dshift = jnp.left_shift(1, s)
+            prev = {k: jnp.roll(v, dshift, axis=-1) for k, v in acc.items()}
+            oob = idx < dshift
+            prev = {k: d.select(oob, inf[k], prev[k]) for k in prev}
+            return jac_add(acc, prev)
+
+        return jax.lax.fori_loop(0, BUCKETS.bit_length() - 1, step, pts)
+
+    # suffix sums = reversed prefix sums; suffix_rev[t] = sum_{i >= 255-t} B_i
+    rev = {k: v[:, ::-1] for k, v in buckets.items()}
+    suffix_rev = prefix_scan(rev)
+    # sum_{j>=1} j*B_j = sum_{j>=1} suffix[j] — drop suffix[0] (last element)
+    last = jnp.arange(BUCKETS) == BUCKETS - 1
+    suffix_rev = {k: d.select(last, inf[k], v) for k, v in suffix_rev.items()}
+    total = prefix_scan(suffix_rev)
+    return {k: v[:, -1] for k, v in total.items()}
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit(n: int):
+    def fn(px, py, scalars_canonical):
+        points = jac_from_affine(px, py)
+        digits = _digits_from_limbs(scalars_canonical).astype(jnp.int32)
+
+        def per_window(w, acc):
+            # Horner: acc = acc * 2^c + window_sum, MSB window first
+            acc = jax.lax.fori_loop(0, WINDOW_BITS, lambda _, a: jac_double(a), acc)
+            bsums = _segmented_bucket_sums(points, digits[w])
+            wsum = _bucket_reduce(bsums)
+            return jac_add(acc, wsum)
+
+        acc = jac_infinity(())
+        acc = jax.lax.fori_loop(
+            0,
+            NUM_WINDOWS,
+            lambda i, a: per_window(NUM_WINDOWS - 1 - i, a),
+            acc,
+        )
+        return acc
+
+    return jax.jit(fn)
+
+
+def msm(px, py, scalars_canonical):
+    """Multi-scalar multiplication.
+
+    px, py: (16, N) affine coordinates in Montgomery form ((0,0) = infinity);
+    scalars_canonical: (16, N) canonical (non-Montgomery) Fr limbs.
+    Returns a jac point (16,) pytree.
+    """
+    return _msm_jit(px.shape[-1])(px, py, scalars_canonical)

@@ -68,38 +68,44 @@ class DeviceField:
         return jnp.broadcast_to(one, (L,) + tuple(batch_shape))
 
     # ------------------------------------------------------------- normalize
+    # Carry/borrow chains run as lax.scan over the limb axis: the body is
+    # traced once, keeping the XLA graph ~5 primitives per chain regardless
+    # of limb count (this is what makes EC/MSM graphs tractable).
     def _carry_normalize(self, t):
         """t: (L, *B) with limbs < 2^31 -> canonical 16-bit limbs + final carry."""
-        out = []
-        c = jnp.zeros(t.shape[1:], U32)
-        for j in range(L):
-            s = t[j] + c
-            out.append(s & _MASK)
-            c = s >> _SHIFT
-        return jnp.stack(out), c
+
+        def body(c, tj):
+            s = tj + c
+            return s >> _SHIFT, s & _MASK
+
+        c, out = jax.lax.scan(body, jnp.zeros(t.shape[1:], U32), t)
+        return out, c
 
     def _raw_sub(self, a, b):
         """a - b mod 2^256 with final borrow flag (1 if a < b)."""
-        out = []
-        borrow = jnp.zeros(a.shape[1:], U32)
-        for j in range(L):
-            tmp = a[j] + np.uint32(1 << _SHIFT) - b[j] - borrow
-            out.append(tmp & _MASK)
-            borrow = np.uint32(1) - (tmp >> _SHIFT)
-        return jnp.stack(out), borrow
+
+        def body(borrow, ab):
+            aj, bj = ab
+            tmp = aj + np.uint32(1 << _SHIFT) - bj - borrow
+            return np.uint32(1) - (tmp >> _SHIFT), tmp & _MASK
+
+        a, b, _ = self._bcast(a, b)
+        borrow, out = jax.lax.scan(body, jnp.zeros(a.shape[1:], U32), (a, b))
+        return out, borrow
 
     def _raw_add(self, a, b):
-        out = []
-        c = jnp.zeros(a.shape[1:], U32)
-        for j in range(L):
-            s = a[j] + b[j] + c
-            out.append(s & _MASK)
-            c = s >> _SHIFT
-        return jnp.stack(out), c
+        def body(c, ab):
+            aj, bj = ab
+            s = aj + bj + c
+            return s >> _SHIFT, s & _MASK
+
+        a, b, _ = self._bcast(a, b)
+        c, out = jax.lax.scan(body, jnp.zeros(a.shape[1:], U32), (a, b))
+        return out, c
 
     def _cond_sub_p(self, a):
         """Reduce a in [0, 2p) to [0, p)."""
-        pc = self._p_col(a.ndim - 1)
+        pc = jnp.broadcast_to(self._p_col(a.ndim - 1), a.shape)
         sub, borrow = self._raw_sub(a, pc)
         return jnp.where(borrow == 0, sub, a)
 
@@ -122,23 +128,44 @@ class DeviceField:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Montgomery product: a * b * R^{-1} mod p."""
+        """Montgomery product: a * b * R^{-1} mod p.
+
+        Product phase: 16-bit partial products split lo/hi and summed by
+        column with shifted pads (sums < 2^21, exact in uint32).  Reduction:
+        CIOS expressed as a 16-step lax.scan over a sliding 16-limb window —
+        each step settles one low limb (m = t_low * n0; window += m*p) so the
+        whole reduce is ONE scan node (~10 primitives) in the graph.
+        """
         a, b, batch = self._bcast(a, b)
-        t = jnp.zeros((2 * L,) + batch, U32)
-        # product phase: column sums of 16-bit partial products (< 2^21)
-        for i in range(L):
-            prod = a[i] * b  # (L, *B) full 32-bit products
-            t = t.at[i : i + L].add(prod & _MASK)
-            t = t.at[i + 1 : i + L + 1].add(prod >> _SHIFT)
-        # interleaved REDC: settle one low limb per step
+        # ---- product: t[k] = sum_{i+j=k} a_i b_j (lo) + sum_{i+j=k-1} (hi)
+        prod = a[:, None] * b[None, :]  # (L, L, *B) full 32-bit products
+        lo = prod & _MASK
+        hi = prod >> _SHIFT
+        rows = [
+            jnp.pad(lo[i], [(i, L - i)] + [(0, 0)] * len(batch)) for i in range(L)
+        ] + [
+            jnp.pad(hi[i], [(i + 1, L - i - 1)] + [(0, 0)] * len(batch))
+            for i in range(L)
+        ]
+        t = sum(rows[1:], start=rows[0])  # (2L, *B), columns < 2^21
+
+        # ---- REDC scan: window w = positions i..i+15; xs feeds t[i+16]
         pc = self._p_col(len(batch))
-        for i in range(L):
-            m = (t[i] * self.n0) & _MASK
+        n0 = self.n0
+
+        def body(w, t_in):
+            m = (w[0] * n0) & _MASK
             mp = m * pc  # (L, *B)
-            t = t.at[i : i + L].add(mp & _MASK)
-            t = t.at[i + 1 : i + L + 1].add(mp >> _SHIFT)
-            t = t.at[i + 1].add(t[i] >> _SHIFT)
-        res, _ = self._carry_normalize(t[L:])
+            mlo = mp & _MASK
+            mhi = mp >> _SHIFT
+            c = (w[0] + mlo[0]) >> _SHIFT
+            shifted = jnp.concatenate([w[1:] + mlo[1:], t_in[None]], axis=0)
+            w = shifted + mhi
+            w = w.at[0].add(c)
+            return w, None
+
+        w, _ = jax.lax.scan(body, t[:L], t[L:])
+        res, _ = self._carry_normalize(w)
         return self._cond_sub_p(res)
 
     def square(self, a):

@@ -1,0 +1,110 @@
+"""L7 curve/MSM tests: device Jacobian ops + Pippenger vs host oracle."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.ec import host
+from halo2_tpu.ec.device import (
+    df,
+    jac_add,
+    jac_double,
+    jac_from_affine,
+    jac_infinity,
+    jac_neg,
+    jac_to_affine,
+    msm,
+)
+from halo2_tpu.field import BN254_FR, Fr, get_device_field
+
+
+def _host_points(n, seed=0):
+    rng = random.Random(seed)
+    pts = []
+    for _ in range(n):
+        pts.append(host.ec_mul(host.G1, rng.randrange(1, host.R)))
+    return pts
+
+
+def _to_device_affine(pts):
+    d = df()
+    xs = d.encode([host.g1_to_ints(p)[0] for p in pts])
+    ys = d.encode([host.g1_to_ints(p)[1] for p in pts])
+    return xs, ys
+
+
+def _affine_ints(p):
+    d = df()
+    x, y = jac_to_affine(p)
+    return int(d.decode(x if x.ndim > 1 else x[:, None])[0]), int(
+        d.decode(y if y.ndim > 1 else y[:, None])[0]
+    )
+
+
+def test_jac_add_double_vs_host():
+    pts = _host_points(4, seed=1)
+    xs, ys = _to_device_affine(pts)
+    p = jac_from_affine(xs, ys)
+
+    # pairwise adds: device[i] + device[(i+1)%4]
+    q = {k: jnp.roll(v, -1, axis=-1) for k, v in p.items()}
+    s = jac_add(p, q)
+    sx, sy = jac_to_affine(s)
+    d = df()
+    for i in range(4):
+        expect = host.g1_to_ints(host.ec_add(pts[i], pts[(i + 1) % 4]))
+        assert (int(d.decode(sx)[i]), int(d.decode(sy)[i])) == expect
+
+    # doubling (and add of equal points must equal doubling)
+    dbl = jac_double(p)
+    same = jac_add(p, p)
+    dx, dy = jac_to_affine(dbl)
+    ex, ey = jac_to_affine(same)
+    for i in range(4):
+        expect = host.g1_to_ints(host.ec_double(pts[i]))
+        assert (int(d.decode(dx)[i]), int(d.decode(dy)[i])) == expect
+        assert (int(d.decode(ex)[i]), int(d.decode(ey)[i])) == expect
+
+    # P + (-P) = infinity; P + inf = P
+    z = jac_add(p, jac_neg(p))
+    assert bool(jnp.all(d.is_zero(z["z"])))
+    pi = jac_add(p, jac_infinity((4,)))
+    px, py = jac_to_affine(pi)
+    for i in range(4):
+        assert (int(d.decode(px)[i]), int(d.decode(py)[i])) == host.g1_to_ints(pts[i])
+
+
+def test_msm_vs_host():
+    n = 32
+    rng = random.Random(42)
+    exps = [rng.randrange(1, host.R) for _ in range(n)]
+    scalars = [rng.randrange(host.R) for _ in range(n)]
+    # points a_i * G; expected = (sum s_i a_i) G
+    pts = [host.ec_mul(host.G1, a) for a in exps]
+    expect_scalar = sum(s * a for s, a in zip(scalars, exps)) % host.R
+    expect = host.g1_to_ints(host.ec_mul(host.G1, expect_scalar))
+
+    xs, ys = _to_device_affine(pts)
+    dfr = get_device_field(BN254_FR)
+    sc = dfr.encode(scalars, to_mont=False)
+    out = msm(xs, ys, sc)
+    ox, oy = jac_to_affine(out)
+    d = df()
+    got = (int(d.decode(ox[:, None])[0]), int(d.decode(oy[:, None])[0]))
+    assert got == expect
+
+
+def test_msm_edge_cases():
+    # zero scalars, duplicate points, identity points in the input
+    d = df()
+    dfr = get_device_field(BN254_FR)
+    pts = [host.G1, host.G1, host.ec_mul(host.G1, 7), None]
+    scalars = [0, 5, 3, 11]
+    xs = d.encode([host.g1_to_ints(p)[0] for p in pts])
+    ys = d.encode([host.g1_to_ints(p)[1] for p in pts])
+    sc = dfr.encode(scalars, to_mont=False)
+    out = msm(xs, ys, sc)
+    ox, oy = jac_to_affine(out)
+    expect = host.g1_to_ints(host.ec_mul(host.G1, (5 + 3 * 7) % host.R))
+    assert (int(d.decode(ox[:, None])[0]), int(d.decode(oy[:, None])[0])) == expect
