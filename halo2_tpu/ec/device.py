@@ -149,24 +149,26 @@ def scalar_mul_batched(points, scalar_bits):
 
 
 # ---------------------------------------------------------------------- MSM
-WINDOW_BITS = 8
-NUM_WINDOWS = 256 // WINDOW_BITS  # 32
-BUCKETS = 1 << WINDOW_BITS
+def _window_bits(n: int) -> int:
+    """Pippenger window size: bucket work (256/c * 2^c) vs point work (n)."""
+    return 4 if n < 256 else 8
 
 
-def _digits_from_limbs(scalars_canonical):
-    """(16, N) canonical 16-bit limbs -> (NUM_WINDOWS, N) uint32 byte digits."""
-    lo = scalars_canonical & np.uint32(0xFF)
-    hi = (scalars_canonical >> np.uint32(8)) & np.uint32(0xFF)
-    # limb j contributes windows 2j (lo byte) and 2j+1 (hi byte)
-    return jnp.stack([lo, hi], axis=1).reshape(32, -1)
+def _digits_from_limbs(scalars_canonical, c: int):
+    """(16, N) canonical 16-bit limbs -> (256/c, N) uint32 c-bit digits."""
+    per_limb = 16 // c
+    mask = np.uint32((1 << c) - 1)
+    parts = [
+        (scalars_canonical >> np.uint32(c * i)) & mask for i in range(per_limb)
+    ]
+    return jnp.stack(parts, axis=1).reshape(16 * per_limb, -1)
 
 
-def _segmented_bucket_sums(points, digits):
+def _segmented_bucket_sums(points, digits, buckets_n):
     """Sum points per digit value via sort + segmented scan.
 
     points: jac pytree (16, N); digits: (N,) int32.
-    Returns bucket sums as jac pytree (16, BUCKETS).
+    Returns bucket sums as jac pytree (16, buckets_n).
     """
     d = df()
     n = digits.shape[0]
@@ -200,23 +202,23 @@ def _segmented_bucket_sums(points, digits):
     tails = jnp.concatenate([sd[1:] != sd[:-1], jnp.ones((1,), bool)])
     # scatter run totals into bucket slots (tail digits are unique; non-tails
     # park at a discarded overflow slot)
-    slot = jnp.where(tails, sd, BUCKETS)
-    inf = jac_infinity((BUCKETS + 1,))
+    slot = jnp.where(tails, sd, buckets_n)
+    inf = jac_infinity((buckets_n + 1,))
     buckets = {}
     for k in ("x", "y", "z"):
-        buckets[k] = inf[k].at[:, slot].set(acc[k], mode="drop")[:, :BUCKETS]
+        buckets[k] = inf[k].at[:, slot].set(acc[k], mode="drop")[:, :buckets_n]
     return buckets
 
 
-def _bucket_reduce(buckets):
+def _bucket_reduce(buckets, buckets_n):
     """sum_{j>=1} j * B_j = sum of suffix sums; log-depth Hillis-Steele scans."""
-    assert BUCKETS & (BUCKETS - 1) == 0
+    assert buckets_n & (buckets_n - 1) == 0
     d = df()
-    inf = jac_infinity((BUCKETS,))
-    mask = jnp.arange(BUCKETS) == 0  # digit 0 contributes nothing
+    inf = jac_infinity((buckets_n,))
+    mask = jnp.arange(buckets_n) == 0  # digit 0 contributes nothing
     buckets = {k: d.select(mask, inf[k], buckets[k]) for k in buckets}
 
-    idx = jnp.arange(BUCKETS)
+    idx = jnp.arange(buckets_n)
 
     def prefix_scan(pts):
         """Inclusive prefix sum over the bucket axis (one add per step)."""
@@ -228,41 +230,49 @@ def _bucket_reduce(buckets):
             prev = {k: d.select(oob, inf[k], prev[k]) for k in prev}
             return jac_add(acc, prev)
 
-        return jax.lax.fori_loop(0, BUCKETS.bit_length() - 1, step, pts)
+        return jax.lax.fori_loop(0, buckets_n.bit_length() - 1, step, pts)
 
-    # suffix sums = reversed prefix sums; suffix_rev[t] = sum_{i >= 255-t} B_i
+    # suffix sums = reversed prefix sums
     rev = {k: v[:, ::-1] for k, v in buckets.items()}
     suffix_rev = prefix_scan(rev)
     # sum_{j>=1} j*B_j = sum_{j>=1} suffix[j] — drop suffix[0] (last element)
-    last = jnp.arange(BUCKETS) == BUCKETS - 1
+    last = jnp.arange(buckets_n) == buckets_n - 1
     suffix_rev = {k: d.select(last, inf[k], v) for k, v in suffix_rev.items()}
     total = prefix_scan(suffix_rev)
     return {k: v[:, -1] for k, v in total.items()}
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit(n: int):
+def _msm_raw(n: int):
+    c = _window_bits(n)
+    num_windows = 256 // c
+    buckets_n = 1 << c
+
     def fn(px, py, scalars_canonical):
         points = jac_from_affine(px, py)
-        digits = _digits_from_limbs(scalars_canonical).astype(jnp.int32)
+        digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
 
         def per_window(w, acc):
             # Horner: acc = acc * 2^c + window_sum, MSB window first
-            acc = jax.lax.fori_loop(0, WINDOW_BITS, lambda _, a: jac_double(a), acc)
-            bsums = _segmented_bucket_sums(points, digits[w])
-            wsum = _bucket_reduce(bsums)
+            acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)
+            bsums = _segmented_bucket_sums(points, digits[w], buckets_n)
+            wsum = _bucket_reduce(bsums, buckets_n)
             return jac_add(acc, wsum)
 
         acc = jac_infinity(())
         acc = jax.lax.fori_loop(
             0,
-            NUM_WINDOWS,
-            lambda i, a: per_window(NUM_WINDOWS - 1 - i, a),
+            num_windows,
+            lambda i, a: per_window(num_windows - 1 - i, a),
             acc,
         )
         return acc
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit(n: int):
+    return jax.jit(_msm_raw(n))
 
 
 def msm(px, py, scalars_canonical):
@@ -273,3 +283,23 @@ def msm(px, py, scalars_canonical):
     Returns a jac point (16,) pytree.
     """
     return _msm_jit(px.shape[-1])(px, py, scalars_canonical)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_batch_jit(n: int):
+    """One set of base points, many scalar vectors: vmapped Pippenger +
+    affine normalization in a single executable (the per-phase commit path)."""
+    single = _msm_raw(n)
+
+    def fn(px, py, scalars_batch):  # scalars_batch: (B, 16, n)
+        out = jax.vmap(lambda s: single(px, py, s))(scalars_batch)
+        # out leaves: (B, 16); normalize to affine with limb axis leading
+        pts = {k: jnp.moveaxis(v, 0, -1) for k, v in out.items()}  # (16, B)
+        return jac_to_affine(pts)
+
+    return jax.jit(fn)
+
+
+def msm_batch(px, py, scalars_batch):
+    """Batched MSM over shared points -> (x, y) affine (16, B) device arrays."""
+    return _msm_batch_jit(px.shape[-1])(px, py, scalars_batch)

@@ -134,6 +134,9 @@ class FQ1(FQP):
     degree = 1
     modulus_coeffs = (0,)  # unused
 
+    def inv(self):
+        return FQ1([pow(self.c[0], -1, P)])
+
 
 class FQ2(FQP):
     degree = 2
@@ -304,3 +307,100 @@ def pairing_product_is_one(pairs) -> bool:
             continue
         f = f * miller_loop(twist(q_g2), cast_g1_to_fq12(p_g1))
     return final_exponentiate(f) == FQ12.one()
+
+
+# -- fast host G1 ops on plain int Jacobian tuples (no FQP overhead) --------
+def _jadd(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    z1z1 = z1 * z1 % P
+    z2z2 = z2 * z2 % P
+    u1 = x1 * z2z2 % P
+    u2 = x2 * z1z1 % P
+    s1 = y1 * z2 % P * z2z2 % P
+    s2 = y2 * z1 % P * z1z1 % P
+    if u1 == u2:
+        if s1 != s2:
+            return None
+        return _jdouble(p1)
+    h = (u2 - u1) % P
+    i = 4 * h * h % P
+    j = h * i % P
+    r = 2 * (s2 - s1) % P
+    v = u1 * i % P
+    x3 = (r * r - j - 2 * v) % P
+    y3 = (r * (v - x3) - 2 * s1 * j) % P
+    z3 = 2 * z1 * z2 % P * h % P
+    return (x3, y3, z3)
+
+
+def _jdouble(p1):
+    if p1 is None:
+        return None
+    x, y, z = p1
+    if y == 0:
+        return None
+    a = x * x % P
+    b = y * y % P
+    c = b * b % P
+    d = 2 * ((x + b) * (x + b) - a - c) % P
+    e = 3 * a % P
+    f = e * e % P
+    x3 = (f - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y * z % P
+    return (x3, y3, z3)
+
+
+def _jac_to_host_point(p):
+    if p is None or p[2] == 0:
+        return None
+    zinv = pow(p[2], -1, P)
+    zinv2 = zinv * zinv % P
+    return g1_from_ints(p[0] * zinv2 % P, p[1] * zinv2 % P * zinv % P)
+
+
+def msm_host(points, scalars):
+    """Host Pippenger over int Jacobian tuples — the CPU-backend fallback
+    used by tests; the device Pippenger is the TPU path."""
+    jpts = []
+    svals = []
+    for pt, s in zip(points, scalars):
+        s %= R
+        if pt is None or s == 0:
+            continue
+        jpts.append((int(pt[0].c[0]), int(pt[1].c[0]), 1))
+        svals.append(s)
+    if not jpts:
+        return None
+    c = 8
+    acc = None
+    for w in range(255 // c, -1, -1):
+        if acc is not None:
+            for _ in range(c):
+                acc = _jdouble(acc)
+        buckets = {}
+        shift = c * w
+        for pt, s in zip(jpts, svals):
+            digit = (s >> shift) & ((1 << c) - 1)
+            if digit:
+                buckets[digit] = _jadd(buckets.get(digit), pt)
+        # sum_{d} d*B_d via descending running sums (suffix-sum identity)
+        running = None
+        wsum = None
+        prev = None
+        for digit in sorted(buckets, reverse=True):
+            if prev is not None:
+                for _ in range(prev - digit):
+                    wsum = _jadd(wsum, running)
+            running = _jadd(running, buckets[digit])
+            prev = digit
+        if prev is not None:
+            for _ in range(prev):
+                wsum = _jadd(wsum, running)
+        acc = _jadd(acc, wsum)
+    return _jac_to_host_point(acc)

@@ -43,10 +43,24 @@ class DeviceField:
         self.p = spec.p
         self._p_np = _col(spec.p_limbs())          # (L,) numpy
         self.n0 = np.uint32(spec.n0)
+        # full-width Montgomery constant N' = -p^{-1} mod 2^256 (loop-free REDC)
+        nprime = (-pow(spec.p, -1, 1 << 256)) % (1 << 256)
+        self._nprime_np = np.array(
+            [(nprime >> (16 * j)) & 0xFFFF for j in range(L)], np.uint32
+        )
         self._one_mont_np = _col(to_limbs(spec.r))  # Montgomery 1
         self._inv_exp_bits = np.array(
             [(spec.p - 2) >> i & 1 for i in range(spec.num_bits)], dtype=np.uint32
         )
+        # limb-convolution matrices: column sums of stacked [lo | hi] partial
+        # products as ONE f32 matmul (exact: all values < 2^24)
+        t_full = np.zeros((2 * L, 2 * L * L), np.float32)
+        for i in range(L):
+            for j in range(L):
+                t_full[i + j, i * L + j] = 1.0          # lo part at column i+j
+                t_full[i + j + 1, L * L + i * L + j] = 1.0  # hi part at i+j+1
+        self._t_full = t_full
+        self._t_low = t_full[:L].copy()
 
     # ---------------------------------------------------------------- shapes
     def _bcast(self, a, b):
@@ -68,40 +82,51 @@ class DeviceField:
         return jnp.broadcast_to(one, (L,) + tuple(batch_shape))
 
     # ------------------------------------------------------------- normalize
-    # Carry/borrow chains run as lax.scan over the limb axis: the body is
-    # traced once, keeping the XLA graph ~5 primitives per chain regardless
-    # of limb count (this is what makes EC/MSM graphs tractable).
+    # Carry chains via Kogge-Stone: two shift rounds squeeze limbs to
+    # [0, 2^16], then log2(L) generate/propagate rounds compute exact carries.
+    # Loop-free (~35 primitives) AND O(log L) depth — the scan version was
+    # 16 sequential while-loop iterations per chain, which dominated runtime.
+    def _norm(self, t):
+        """t: (nl, *B) with limbs < 2^26 -> (canonical limbs, carry_out)."""
+        nl = t.shape[0]
+        zero_row = jnp.zeros((1,) + t.shape[1:], U32)
+
+        def shift1(x, d=1):
+            return jnp.concatenate([jnp.zeros((d,) + x.shape[1:], U32), x[:-d]])
+
+        c0 = t >> _SHIFT
+        v1 = (t & _MASK) + shift1(c0)
+        co = c0[nl - 1]
+        g1 = v1 >> _SHIFT
+        v2 = (v1 & _MASK) + shift1(g1)
+        co = co + g1[nl - 1]
+        # digits in [0, 2^16]: exact single-bit Kogge-Stone
+        g = v2 >> _SHIFT
+        p_flag = ((v2 & _MASK) == _MASK).astype(U32)
+        d = 1
+        while d < nl:
+            g = g | (p_flag & shift1(g, d))
+            p_flag = p_flag & shift1(p_flag, d)
+            d *= 2
+        out = ((v2 & _MASK) + shift1(g)) & _MASK
+        co = co + g[nl - 1]
+        return out, co
+
     def _carry_normalize(self, t):
-        """t: (L, *B) with limbs < 2^31 -> canonical 16-bit limbs + final carry."""
-
-        def body(c, tj):
-            s = tj + c
-            return s >> _SHIFT, s & _MASK
-
-        c, out = jax.lax.scan(body, jnp.zeros(t.shape[1:], U32), t)
-        return out, c
+        return self._norm(t)
 
     def _raw_sub(self, a, b):
         """a - b mod 2^256 with final borrow flag (1 if a < b)."""
-
-        def body(borrow, ab):
-            aj, bj = ab
-            tmp = aj + np.uint32(1 << _SHIFT) - bj - borrow
-            return np.uint32(1) - (tmp >> _SHIFT), tmp & _MASK
-
-        a, b, _ = self._bcast(a, b)
-        borrow, out = jax.lax.scan(body, jnp.zeros(a.shape[1:], U32), (a, b))
-        return out, borrow
+        a, b, batch = self._bcast(a, b)
+        comp = b ^ _MASK  # one's complement limbwise
+        s = a + comp
+        one0 = jnp.zeros((L,) + batch, U32).at[0].set(1)
+        out, carry = self._norm(s + one0)  # a + (2^256 - b)
+        return out, np.uint32(1) - carry
 
     def _raw_add(self, a, b):
-        def body(c, ab):
-            aj, bj = ab
-            s = aj + bj + c
-            return s >> _SHIFT, s & _MASK
-
         a, b, _ = self._bcast(a, b)
-        c, out = jax.lax.scan(body, jnp.zeros(a.shape[1:], U32), (a, b))
-        return out, c
+        return self._norm(a + b)
 
     def _cond_sub_p(self, a):
         """Reduce a in [0, 2p) to [0, p)."""
@@ -127,45 +152,48 @@ class DeviceField:
     def double(self, a):
         return self.add(a, a)
 
-    def mul(self, a, b):
-        """Montgomery product: a * b * R^{-1} mod p.
+    def _conv(self, x, y_bcast, t_mat):
+        """Column sums of the limb product x*y via one exact f32 matmul.
 
-        Product phase: 16-bit partial products split lo/hi and summed by
-        column with shifted pads (sums < 2^21, exact in uint32).  Reduction:
-        CIOS expressed as a 16-step lax.scan over a sliding 16-limb window —
-        each step settles one low limb (m = t_low * n0; window += m*p) so the
-        whole reduce is ONE scan node (~10 primitives) in the graph.
+        t_mat: (K, 2*L*L) one-hot column-assignment matrix.  All values stay
+        < 2^24 so f32 accumulation at HIGHEST precision is exact; the matmul
+        rides the MXU on TPU.  Returns (K, *B) uint32 columns (sums < 2^21).
+        """
+        k_out = t_mat.shape[0]
+        batch = x.shape[1:]
+        prod = x[:, None] * y_bcast[None, :]  # (L, L, *B) full 32-bit products
+        lo = (prod & _MASK).reshape(L * L, -1)
+        hi = (prod >> _SHIFT).reshape(L * L, -1)
+        stacked = jnp.concatenate([lo, hi]).astype(jnp.float32)
+        t = jnp.matmul(
+            jnp.asarray(t_mat), stacked, precision=jax.lax.Precision.HIGHEST
+        )
+        return t.astype(U32).reshape((k_out,) + batch)
+
+    def mul(self, a, b):
+        """Montgomery product a * b * R^{-1} mod p — loop-free.
+
+        Full-width reduction: T = a*b; m = (T mod R) * N' mod R with
+        N' = -p^{-1} mod R computed as ONE low product (instead of CIOS's 16
+        sequential limb steps); result = (T + m*p) / R < 2p.  All carry
+        propagation is Kogge-Stone (log-depth), all limb convolutions are one
+        f32 matmul each — zero XLA loops per multiply, MXU-friendly on TPU.
         """
         a, b, batch = self._bcast(a, b)
-        # ---- product: t[k] = sum_{i+j=k} a_i b_j (lo) + sum_{i+j=k-1} (hi)
-        prod = a[:, None] * b[None, :]  # (L, L, *B) full 32-bit products
-        lo = prod & _MASK
-        hi = prod >> _SHIFT
-        rows = [
-            jnp.pad(lo[i], [(i, L - i)] + [(0, 0)] * len(batch)) for i in range(L)
-        ] + [
-            jnp.pad(hi[i], [(i + 1, L - i - 1)] + [(0, 0)] * len(batch))
-            for i in range(L)
-        ]
-        t = sum(rows[1:], start=rows[0])  # (2L, *B), columns < 2^21
+        t = self._conv(a, b, self._t_full)  # (2L, *B) columns < 2^21
 
-        # ---- REDC scan: window w = positions i..i+15; xs feeds t[i+16]
-        pc = self._p_col(len(batch))
-        n0 = self.n0
+        t_low_norm, _ = self._norm(t[:L])  # value mod R, canonical limbs
+        nprime = jnp.asarray(self._nprime_np.reshape((L,) + (1,) * len(batch)))
+        m_cols = self._conv(t_low_norm, jnp.broadcast_to(nprime, (L,) + batch), self._t_low)
+        m, _ = self._norm(m_cols)  # m = (T mod R) * N' mod R
 
-        def body(w, t_in):
-            m = (w[0] * n0) & _MASK
-            mp = m * pc  # (L, *B)
-            mlo = mp & _MASK
-            mhi = mp >> _SHIFT
-            c = (w[0] + mlo[0]) >> _SHIFT
-            shifted = jnp.concatenate([w[1:] + mlo[1:], t_in[None]], axis=0)
-            w = shifted + mhi
-            w = w.at[0].add(c)
-            return w, None
+        pc = jnp.broadcast_to(self._p_col(len(batch)), (L,) + batch)
+        mp = self._conv(m, pc, self._t_full)  # (2L, *B)
 
-        w, _ = jax.lax.scan(body, t[:L], t[L:])
-        res, _ = self._carry_normalize(w)
+        s = t + mp  # columns < 2^22; low 16 columns ≡ 0 mod R
+        _, c_low = self._norm(s[:L])
+        high = s[L:].at[0].add(c_low)
+        res, _ = self._norm(high)  # value < 2p < 2^256
         return self._cond_sub_p(res)
 
     def square(self, a):

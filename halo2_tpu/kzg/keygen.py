@@ -1,0 +1,388 @@
+"""Key generation + protocol structure (halo2 `keygen_vk` / `keygen_pk`).
+
+Builds the pinned proving structure from a circuit's ConstraintSystem:
+
+* query lists — every (column, rotation) referenced by gates/lookups plus a
+  Rotation::cur query for every equality-enabled column (as halo2's
+  permutation argument adds);
+* selector handling — every selector becomes its own fixed polynomial
+  (documented divergence from halo2's selector compression: same soundness,
+  a few more commitments in the vk);
+* the permutation argument's sigma polynomials (delta^i omega^j labels over
+  the copy cycles, chunked by degree like halo2) and their commitments;
+* the full quotient-polynomial expression list (gates + permutation +
+  lookup arguments) over AUX columns, shared verbatim by the device prover
+  (instruction-VM over the extended coset) and the host verifier.
+
+Reference parity: SURVEY.md §1.A call-surface; src/circuits/utils.rs:31-36.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ec.device import df as dfq, jac_to_affine, msm
+from ..ec import host as ec
+from ..field.device import get_device_field
+from ..field.params import BN254_FR
+from ..plonkish.assignment import run_synthesis
+from ..plonkish.column import Column, ColumnKind, Rotation
+from ..plonkish.expression import Constant, Expression, Query
+from ..poly.domain import EvaluationDomain, get_domain
+
+FR = BN254_FR
+
+
+# ------------------------------------------------------------------ structure
+@dataclasses.dataclass
+class AuxLayout:
+    """Index map for ColumnKind.AUX columns used in quotient expressions."""
+
+    IDENTITY = 0
+    L0 = 1
+    L_LAST = 2
+    L_BLIND = 3
+    BETA = 4
+    GAMMA = 5
+    THETA = 6
+    Y = 7
+    PERM_Z_BASE = 8
+
+    def __init__(self, num_perm_chunks: int, num_lookups: int):
+        self.num_perm_chunks = num_perm_chunks
+        self.num_lookups = num_lookups
+        self.lookup_base = self.PERM_Z_BASE + num_perm_chunks
+
+    def perm_z(self, c: int) -> int:
+        return self.PERM_Z_BASE + c
+
+    def lookup_permuted_input(self, i: int) -> int:
+        return self.lookup_base + 3 * i
+
+    def lookup_permuted_table(self, i: int) -> int:
+        return self.lookup_base + 3 * i + 1
+
+    def lookup_z(self, i: int) -> int:
+        return self.lookup_base + 3 * i + 2
+
+    @property
+    def num_aux(self) -> int:
+        return self.lookup_base + 3 * self.num_lookups
+
+
+def _aux(idx: int, rot: int = 0) -> Expression:
+    return Query(Column(ColumnKind.AUX, idx), Rotation(rot))
+
+
+def _horner(exprs, chal: Expression) -> Expression:
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = acc * chal + e
+    return acc
+
+
+class PlonkStructure:
+    """Everything derivable from (cs, k) alone."""
+
+    def __init__(self, cs, k: int):
+        self.cs = cs
+        self.k = k
+        self.n = 1 << k
+        self.bf = cs.blinding_factors()
+        self.u = self.n - (self.bf + 1)  # l_last row; active rows are 0..u-1
+
+        # ---- queries
+        adv, fix, sel, inst = {}, {}, {}, {}
+
+        def record(col, rot):
+            if isinstance(col, Column):
+                d = {
+                    ColumnKind.ADVICE: adv,
+                    ColumnKind.FIXED: fix,
+                    ColumnKind.INSTANCE: inst,
+                }[col.kind]
+                d.setdefault((col.index, rot.value), None)
+            else:  # Selector
+                sel.setdefault((col.index, rot.value), None)
+
+        for gate in cs.gates:
+            for c in gate.constraints:
+                for col, rot in c.queried_columns():
+                    record(col, rot)
+        for lk in cs.lookups:
+            for i_e, t_e in lk.pairs:
+                for col, rot in i_e.queried_columns():
+                    record(col, rot)
+                for col, rot in t_e.queried_columns():
+                    record(col, rot)
+        for col in cs.permutation_columns:
+            record(col, Rotation.cur())
+
+        self.advice_queries = sorted(adv)
+        self.fixed_queries = sorted(fix)
+        self.selector_queries = sorted(sel)
+        self.instance_queries = sorted(inst)
+
+        # ---- permutation chunking (halo2: chunk_len = degree - 2)
+        self.degree = max(cs.degree(), 3)
+        chunk = max(self.degree - 2, 1)
+        cols = list(cs.permutation_columns)
+        self.perm_chunks = [cols[i : i + chunk] for i in range(0, len(cols), chunk)]
+        self.aux = AuxLayout(len(self.perm_chunks), len(cs.lookups))
+
+        # ---- quotient expressions
+        self.quotient_exprs = self._build_quotient_exprs()
+        qdeg = max((e.degree() for e in self.quotient_exprs), default=1)
+        self.domain: EvaluationDomain = get_domain(FR, k, qdeg)
+
+    # ------------------------------------------------------- quotient exprs
+    def _build_quotient_exprs(self):
+        aux = self.aux
+        exprs: list[Expression] = []
+        beta, gamma, theta = _aux(aux.BETA), _aux(aux.GAMMA), _aux(aux.THETA)
+        l0, l_last, l_blind = _aux(aux.L0), _aux(aux.L_LAST), _aux(aux.L_BLIND)
+        identity = _aux(aux.IDENTITY)
+        active = Constant(1) - (l_last + l_blind)
+        one = Constant(1)
+
+        # gates
+        for gate in self.cs.gates:
+            exprs.extend(gate.constraints)
+
+        # permutation argument
+        chunks = self.perm_chunks
+        if chunks:
+            delta = _delta()
+            exprs.append(l0 * (one - _aux(aux.perm_z(0))))
+            for c in range(1, len(chunks)):
+                exprs.append(
+                    l0 * (_aux(aux.perm_z(c)) - _aux(aux.perm_z(c - 1), rot=self.u))
+                )
+            z_last = _aux(aux.perm_z(len(chunks) - 1))
+            exprs.append(l_last * (z_last * z_last - z_last))
+            global_idx = 0
+            for c, cols in enumerate(chunks):
+                z = _aux(aux.perm_z(c))
+                z_next = _aux(aux.perm_z(c), rot=1)
+                left = z_next
+                right = z
+                for col in cols:
+                    v = Query(col, Rotation.cur())
+                    sigma = _aux(self._sigma_aux_index(global_idx))
+                    left = left * (v + beta * sigma + gamma)
+                    right = right * (
+                        v + beta * Constant(pow(delta, global_idx, FR.p)) * identity + gamma
+                    )
+                    global_idx += 1
+                exprs.append(active * (left - right))
+
+        # lookup arguments
+        for i, lk in enumerate(self.cs.lookups):
+            a_comp = _horner([p[0] for p in lk.pairs], theta)
+            s_comp = _horner([p[1] for p in lk.pairs], theta)
+            ap = _aux(aux.lookup_permuted_input(i))
+            ap_prev = _aux(aux.lookup_permuted_input(i), rot=-1)
+            sp = _aux(aux.lookup_permuted_table(i))
+            z = _aux(aux.lookup_z(i))
+            z_next = _aux(aux.lookup_z(i), rot=1)
+            exprs.append(l0 * (one - z))
+            exprs.append(l_last * (z * z - z))
+            exprs.append(
+                active
+                * (z_next * (ap + beta) * (sp + gamma) - z * (a_comp + beta) * (s_comp + gamma))
+            )
+            exprs.append(l0 * (ap - sp))
+            exprs.append(active * (ap - sp) * (ap - ap_prev))
+        return exprs
+
+    def _sigma_aux_index(self, global_col_idx: int) -> int:
+        # sigma polys live after the dynamic aux block
+        return self.aux.num_aux + global_col_idx
+
+    @property
+    def num_aux_total(self) -> int:
+        return self.aux.num_aux + len(self.cs.permutation_columns)
+
+    # ------------------------------------------------------------ permutation
+    def build_sigma_values(self, copies) -> list[list[int]]:
+        """Copy pairs -> sigma column values (delta^i omega^j labels)."""
+        n, p = self.n, FR.p
+        cols = self.cs.permutation_columns
+        index = {(c.kind, c.index): i for i, c in enumerate(cols)}
+        delta = _delta()
+        omega = self.domain.omega
+
+        # next-pointer cycles (same splice as the mock prover)
+        mapping = {}
+        aux_uf, sizes = {}, {}
+
+        def find(x):
+            root = x
+            while aux_uf.get(root, root) != root:
+                root = aux_uf[root]
+            while aux_uf.get(x, x) != x:
+                aux_uf[x], x = root, aux_uf[x]
+            return root
+
+        for a, b in copies:
+            ka = (a[0], a[1])
+            kb = (b[0], b[1])
+            if ka not in index or kb not in index:
+                raise ValueError(f"copy involves non-equality column: {a} {b}")
+            ca, cb = (index[ka], a[2]), (index[kb], b[2])
+            ra, rb = find(ca), find(cb)
+            if ra == rb:
+                continue
+            if sizes.get(ra, 1) < sizes.get(rb, 1):
+                ra, rb = rb, ra
+            sizes[ra] = sizes.get(ra, 1) + sizes.get(rb, 1)
+            aux_uf[rb] = ra
+            mapping.setdefault(ca, ca)
+            mapping.setdefault(cb, cb)
+            mapping[ca], mapping[cb] = mapping[cb], mapping[ca]
+
+        deltas = [pow(delta, i, p) for i in range(len(cols))]
+        omegas = [1] * n
+        for j in range(1, n):
+            omegas[j] = omegas[j - 1] * omega % p
+
+        sigmas = []
+        for i in range(len(cols)):
+            col_vals = [deltas[i] * omegas[j] % p for j in range(n)]
+            sigmas.append(col_vals)
+        for (ci, ri), (cj, rj) in mapping.items():
+            sigmas[ci][ri] = deltas[cj] * omegas[rj] % p
+        return sigmas
+
+
+def _delta() -> int:
+    """halo2curves DELTA: generator of the 2^S-cosets, g^(2^S)."""
+    return pow(FR.generator, 1 << FR.two_adicity, FR.p)
+
+
+# -------------------------------------------------------------------- keygen
+@dataclasses.dataclass
+class VerifyingKey:
+    k: int
+    structure: PlonkStructure
+    fixed_commitments: list      # order: fixed columns, then selectors
+    sigma_commitments: list
+    digest: int                  # transcript seed
+
+    @property
+    def cs(self):
+        return self.structure.cs
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_values: list           # host ints per fixed column (incl. selectors)
+    sigma_values: list
+    fixed_coeffs: object         # device (F, 16, n)
+    sigma_coeffs: object
+
+
+def commit_lagrange(params, domain: EvaluationDomain, values_host: list) -> object:
+    """Commit a column given in Lagrange form: iNTT then MSM."""
+    dfr = get_device_field(FR)
+    evals = dfr.encode(values_host)
+    coeffs = domain.lagrange_to_coeff(evals)
+    return commit_coeffs(params, coeffs)
+
+
+def commit_coeffs(params, coeffs) -> object:
+    """coeffs: (16, m) Montgomery device -> host G1 point."""
+    return commit_coeffs_batch(params, [coeffs])[0]
+
+
+# all commit batches are padded to this width so a single vmapped-MSM
+# executable per SRS size serves every phase of keygen+prove (XLA compile of
+# the Pippenger graph is expensive; batch-size churn would recompile it)
+_COMMIT_BATCH = 16
+
+
+def commit_coeffs_batch(params, coeffs_list) -> list:
+    """Commit many polys over the shared SRS via one cached vmapped MSM.
+
+    On the CPU backend (tests) Python-int host MSM is ~30x faster than the
+    limb-vectorized device path, so commits fall back to it; TPU uses the
+    device Pippenger."""
+    import jax
+
+    dfr = get_device_field(FR)
+    m = coeffs_list[0].shape[-1]
+    if jax.default_backend() == "cpu":
+        pts = params.g1_host()[:m]
+        out = []
+        for coeffs in coeffs_list:
+            scalars = [int(v) for v in dfr.decode(coeffs)]
+            out.append(ec.msm_host(pts, scalars))
+        return out
+    from ..ec.device import msm_batch
+
+    out = []
+    for start in range(0, len(coeffs_list), _COMMIT_BATCH):
+        chunk = list(coeffs_list[start : start + _COMMIT_BATCH])
+        pad = _COMMIT_BATCH - len(chunk)
+        chunk += [jnp.zeros((16, m), jnp.uint32)] * pad
+        batch = jnp.stack(chunk)                          # (B, 16, m)
+        canon = dfr.from_mont_arr(jnp.moveaxis(batch, 0, 1))  # (16, B, m)
+        canon = jnp.moveaxis(canon, 1, 0)
+        x, y = msm_batch(params.g1_x[:, :m], params.g1_y[:, :m], canon)
+        d = dfq()
+        xs = d.decode(x)
+        ys = d.decode(y)
+        out += [
+            ec.g1_from_ints(int(xs[i]), int(ys[i]))
+            for i in range(_COMMIT_BATCH - pad)
+        ]
+    return out
+
+
+def keygen(params, circuit, k: int, F) -> ProvingKey:
+    """vk+pk in one pass (halo2 splits keygen_vk/keygen_pk; we share work)."""
+    circuit_no_wit = circuit.without_witnesses()
+    cs, _config, assignment = run_synthesis(circuit_no_wit, k, [], witness=False, field=F)
+    fin = assignment.finalize()
+    structure = PlonkStructure(cs, k)
+    domain = structure.domain
+    dfr = get_device_field(FR)
+
+    fixed_values = [list(col) for col in fin.fixed] + [list(s) for s in fin.selectors]
+    sigma_values = structure.build_sigma_values(fin.copies)
+
+    fixed_coeffs = (
+        jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in fixed_values])
+        if fixed_values
+        else jnp.zeros((0, 16, structure.n), jnp.uint32)
+    )
+    sigma_coeffs = (
+        jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in sigma_values])
+        if sigma_values
+        else jnp.zeros((0, 16, structure.n), jnp.uint32)
+    )
+
+    all_coeffs = [fixed_coeffs[i] for i in range(len(fixed_values))] + [
+        sigma_coeffs[i] for i in range(len(sigma_values))
+    ]
+    if all_coeffs:
+        all_commitments = commit_coeffs_batch(params, all_coeffs)
+    else:
+        all_commitments = []
+    fixed_commitments = all_commitments[: len(fixed_values)]
+    sigma_commitments = all_commitments[len(fixed_values) :]
+
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=32)
+    h.update(f"halo2_tpu-vk-k{k}".encode())
+    for pt in fixed_commitments + sigma_commitments:
+        x, y = ec.g1_to_ints(pt)
+        h.update(x.to_bytes(32, "little") + y.to_bytes(32, "little"))
+    digest = int.from_bytes(h.digest(), "little") % FR.p
+
+    vk = VerifyingKey(k, structure, fixed_commitments, sigma_commitments, digest)
+    return ProvingKey(vk, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs)

@@ -1,0 +1,173 @@
+"""SHPLONK multiopen (halo2 `ProverSHPLONK` / `VerifierSHPLONK`, BDFG20).
+
+Opens many (poly, point-set) pairs with TWO G1 elements:
+  f(X) = sum_i v^i * Z_{T\\S_i}(X) * (f_i(X) - r_i(X)),   H = f / Z_T
+  L(X) = sum_i v^i * Z_{T\\S_i}(u) * (f_i(X) - r_i(u)) - Z_T(u) H(X)
+  W    = L / (X - u)
+Verification folds commitments the same way and checks
+  e(C_L + u*C_W, [1]_2) == e(C_W, [tau]_2)  (SingleStrategy: immediate check).
+Reference call-surface: src/circuits/utils.rs:40-63.
+"""
+
+from __future__ import annotations
+
+from ..ec import host as ec
+from ..field.device import get_device_field
+from ..field.params import BN254_FR
+from .expr_eval import poly_eval
+
+P = BN254_FR.p
+
+
+# ----------------------------------------------------- host poly arithmetic
+def poly_from_roots(roots):
+    out = [1]
+    for r in roots:
+        nxt = [0] * (len(out) + 1)
+        for i, c in enumerate(out):
+            nxt[i + 1] = (nxt[i + 1] + c) % P
+            nxt[i] = (nxt[i] - c * r) % P
+        out = nxt
+    return out
+
+
+def poly_add_scaled(acc, poly, scale):
+    if len(acc) < len(poly):
+        acc += [0] * (len(poly) - len(acc))
+    for i, c in enumerate(poly):
+        acc[i] = (acc[i] + c * scale) % P
+    return acc
+
+
+def poly_mul(a, b):
+    out = [0] * (len(a) + len(b) - 1)
+    for i, x in enumerate(a):
+        if x:
+            for j, y in enumerate(b):
+                out[i + j] = (out[i + j] + x * y) % P
+    return out
+
+
+def poly_div_exact(f, divisor):
+    """f / divisor, asserting zero remainder; divisor monic-ized internally."""
+    f = list(f)
+    d = len(divisor) - 1
+    lead_inv = pow(divisor[-1], -1, P)
+    out = [0] * max(len(f) - d, 1)
+    for i in range(len(f) - 1, d - 1, -1):
+        q = f[i] * lead_inv % P
+        out[i - d] = q
+        if q:
+            for j, c in enumerate(divisor):
+                f[i - d + j] = (f[i - d + j] - q * c) % P
+    assert all(c % P == 0 for c in f[:d]), "non-zero remainder in multiopen division"
+    return out
+
+
+def lagrange_interp(points, values):
+    """Coefficients of the unique poly with poly(points[i]) = values[i]."""
+    out = [0] * len(points)
+    for i, (xi, yi) in enumerate(zip(points, values)):
+        num = [1]
+        den = 1
+        for j, xj in enumerate(points):
+            if i == j:
+                continue
+            num = poly_mul(num, [(-xj) % P, 1])
+            den = den * ((xi - xj) % P) % P
+        scale = yi * pow(den, -1, P) % P
+        out = poly_add_scaled(out, num, scale)
+    return out
+
+
+# ------------------------------------------------------------------- prover
+def shplonk_open(params, transcript, polys, queries, evals):
+    from .keygen import commit_coeffs
+    dfr = get_device_field(BN254_FR)
+
+    v = int(transcript.squeeze_challenge())
+    points_of = {}
+    for label, pt in queries:
+        points_of.setdefault(label, []).append(pt)
+    labels = sorted(points_of)
+    T = sorted({pt for _, pt in queries})
+
+    r_coeffs = {}
+    f = [0]
+    vi = 1
+    for label in labels:
+        S = sorted(set(points_of[label]))
+        r = lagrange_interp(S, [evals[(label, s)] for s in S])
+        r_coeffs[label] = r
+        diff = list(polys[label])
+        for i, c in enumerate(r):
+            diff[i] = (diff[i] - c) % P
+        zfac = poly_from_roots([t for t in T if t not in S])
+        f = poly_add_scaled(f, poly_mul(diff, zfac), vi)
+        vi = vi * v % P
+
+    h = poly_div_exact(f, poly_from_roots(T))
+    n = params.n
+    h = (h + [0] * n)[:n]
+    transcript.write_point(commit_coeffs(params, dfr.encode(h)))
+
+    u_pt = int(transcript.squeeze_challenge())
+
+    L = [0]
+    vi = 1
+    for label in labels:
+        S = sorted(set(points_of[label]))
+        z_u = 1
+        for t in T:
+            if t not in S:
+                z_u = z_u * ((u_pt - t) % P) % P
+        diff = list(polys[label])
+        diff[0] = (diff[0] - poly_eval(r_coeffs[label], u_pt)) % P
+        L = poly_add_scaled(L, diff, vi * z_u % P)
+        vi = vi * v % P
+    zt_u = 1
+    for t in T:
+        zt_u = zt_u * ((u_pt - t) % P) % P
+    L = poly_add_scaled(L, h, (-zt_u) % P)
+    w = poly_div_exact(L, [(-u_pt) % P, 1])
+    w = (w + [0] * n)[:n]
+    transcript.write_point(commit_coeffs(params, dfr.encode(w)))
+
+
+# ----------------------------------------------------------------- verifier
+def shplonk_verify(params, transcript, commitments, queries, evals) -> bool:
+    v = int(transcript.squeeze_challenge())
+    c_h = transcript.read_point()
+    u_pt = int(transcript.squeeze_challenge())
+    c_w = transcript.read_point()
+
+    points_of = {}
+    for label, pt in queries:
+        points_of.setdefault(label, []).append(pt)
+    labels = sorted(points_of)
+    T = sorted({pt for _, pt in queries})
+
+    e_acc = None  # commitment combination
+    scalar_g = 0  # coefficient of G1 generator (from the r_i(u) constants)
+    vi = 1
+    for label in labels:
+        S = sorted(set(points_of[label]))
+        z_u = 1
+        for t in T:
+            if t not in S:
+                z_u = z_u * ((u_pt - t) % P) % P
+        r = lagrange_interp(S, [evals[(label, s)] for s in S])
+        coeff = vi * z_u % P
+        e_acc = ec.ec_add(e_acc, ec.ec_mul(commitments[label], coeff))
+        scalar_g = (scalar_g + coeff * poly_eval(r, u_pt)) % P
+        vi = vi * v % P
+    zt_u = 1
+    for t in T:
+        zt_u = zt_u * ((u_pt - t) % P) % P
+    e_acc = ec.ec_add(e_acc, ec.ec_mul(ec.G1, (-scalar_g) % P))
+    e_acc = ec.ec_add(e_acc, ec.ec_mul(c_h, (-zt_u) % P))
+
+    lhs = ec.ec_add(e_acc, ec.ec_mul(c_w, u_pt))
+    return ec.pairing_product_is_one(
+        [(lhs, params.g2), (ec.ec_neg(c_w), params.s_g2)]
+    )

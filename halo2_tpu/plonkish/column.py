@@ -15,6 +15,9 @@ class ColumnKind(enum.Enum):
     ADVICE = "advice"
     FIXED = "fixed"
     INSTANCE = "instance"
+    # prover-internal polynomials (identity, lagrange selectors, grand
+    # products, permuted lookup columns, challenges) — never user-visible
+    AUX = "aux"
 
     def __repr__(self):
         return self.value

@@ -97,10 +97,11 @@ def test_msm_vs_host():
 
 def test_msm_edge_cases():
     # zero scalars, duplicate points, identity points in the input
+    # (padded to n=32 so it shares the compiled executable with test_msm_vs_host)
     d = df()
     dfr = get_device_field(BN254_FR)
-    pts = [host.G1, host.G1, host.ec_mul(host.G1, 7), None]
-    scalars = [0, 5, 3, 11]
+    pts = [host.G1, host.G1, host.ec_mul(host.G1, 7), None] + [None] * 28
+    scalars = [0, 5, 3, 11] + [1] * 28
     xs = d.encode([host.g1_to_ints(p)[0] for p in pts])
     ys = d.encode([host.g1_to_ints(p)[1] for p in pts])
     sc = dfr.encode(scalars, to_mont=False)
