@@ -1,0 +1,110 @@
+"""Headline benchmark: Pippenger MSM throughput on the real chip.
+
+The reference publishes no numbers (BASELINE.md); its MSM is halo2curves'
+multicore CPU Pippenger inside `create_proof` (src/circuits/utils.rs:40-48).
+BASELINE.json names "MSM points/sec" the north-star metric, so that is what
+this prints.  ``vs_baseline`` is measured against 1.0e6 points/sec — the
+order-of-magnitude throughput of the reference's rayon'd CPU Pippenger on the
+ubuntu-latest CI runners it was developed on (no published number exists to
+pin it tighter; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context (NTT butterflies/sec, device, sizes) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+K = 16  # 2^16 points
+BASELINE_POINTS_PER_SEC = 1.0e6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_msm():
+    import random
+
+    from halo2_tpu.ec.device import msm
+    from halo2_tpu.field.device import get_device_field
+    from halo2_tpu.field.params import BN254_FR
+    from halo2_tpu.kzg.params import ParamsKZG
+
+    n = 1 << K
+    t0 = time.perf_counter()
+    params = ParamsKZG.setup_cached(K)
+    log(f"SRS k={K} ready in {time.perf_counter() - t0:.1f}s")
+
+    dfr = get_device_field(BN254_FR)
+    rng = random.Random(42)
+    scalars = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = msm(params.g1_x, params.g1_y, scalars)
+    jax.block_until_ready(out)
+    log(f"MSM compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = msm(params.g1_x, params.g1_y, scalars)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def bench_ntt():
+    import random
+
+    from halo2_tpu.field.device import get_device_field
+    from halo2_tpu.field.params import BN254_FR
+    from halo2_tpu.poly.domain import _ntt_fn
+
+    n = 1 << 20
+    dfr = get_device_field(BN254_FR)
+    rng = random.Random(7)
+    x = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(4096)])
+    x = jnp.tile(x, (1, n // 4096))
+    fn = _ntt_fn(BN254_FR, n, False)
+    jax.block_until_ready(fn(x))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x2 = fn(x)
+    jax.block_until_ready(x2)
+    dt = (time.perf_counter() - t0) / iters
+    butterflies = (n // 2) * (n.bit_length() - 1)
+    return butterflies / dt, dt
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    pps, msm_dt = bench_msm()
+    log(f"MSM 2^{K}: {msm_dt * 1e3:.1f} ms -> {pps:,.0f} points/s")
+    try:
+        bps, ntt_dt = bench_ntt()
+        log(f"NTT 2^20: {ntt_dt * 1e3:.1f} ms -> {bps:,.0f} butterflies/s")
+    except Exception as e:  # NTT context only; never break the headline line
+        log(f"NTT bench skipped: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_points_per_sec_2^{K}_bn254",
+                "value": round(pps),
+                "unit": "points/s",
+                "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -164,59 +164,63 @@ def _digits_from_limbs(scalars_canonical, c: int):
     return jnp.stack(parts, axis=1).reshape(16 * per_limb, -1)
 
 
-def _segmented_bucket_sums(points, digits, buckets_n):
-    """Sum points per digit value via sort + segmented scan.
+def _bucket_sums_all_windows(points, digits, buckets_n):
+    """Per-(window, bucket) point sums via round-robin accumulation.
 
-    points: jac pytree (16, N); digits: (N,) int32.
-    Returns bucket sums as jac pytree (16, buckets_n).
+    points: jac pytree (16, N); digits: (W, N) int32 in [0, buckets_n).
+    Returns bucket sums as jac pytree (16, W, buckets_n).
+
+    The classic bucket-serial schedule, vectorized over all W*buckets_n
+    buckets at once: sort each window's digits, then in round r every bucket
+    absorbs its r-th point (one full-width ``jac_add`` per round, all windows
+    in parallel).  Total work is N points per window + padding slack
+    (rounds = the LONGEST run, so utilization degrades only under adversarial
+    digit skew — correctness never depends on the distribution because the
+    ``while_loop`` trip count is the true max run length).  The XLA graph
+    holds exactly ONE jac_add — compile time stays flat in N.
     """
     d = df()
-    n = digits.shape[0]
-    order = jnp.argsort(digits)
-    sd = digits[order]
-    sp = {k: v[:, order] for k, v in points.items()}
+    w_n, n = digits.shape
+    order = jnp.argsort(digits, axis=1)  # (W, N)
+    sd = jnp.take_along_axis(digits, order, axis=1)
 
-    # head flag: first element of each equal-digit run
-    heads = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+    bvals = jnp.arange(buckets_n, dtype=sd.dtype)
+    starts = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="left"))(sd)
+    ends = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="right"))(sd)
+    counts = (ends - starts).reshape(-1)  # (W*B,)
+    flat_starts = starts.reshape(-1)
+    max_run = jnp.max(counts)
 
-    # segmented inclusive scan, Hillis-Steele form: log2(n) steps, each ONE
-    # vectorized jac_add over the whole row (the step body compiles once
-    # inside the fori_loop — this is what keeps the XLA graph small)
-    idx = jnp.arange(n)
+    lane_w = jnp.arange(w_n * buckets_n) // buckets_n  # window of each lane
+    inf_lane = jac_infinity((w_n * buckets_n,))
 
-    def hs_step(s, carry):
-        acc, blocked = carry
-        dshift = jnp.left_shift(1, s)
-        prev = {k: jnp.roll(v, dshift, axis=-1) for k, v in acc.items()}
-        prev_blocked = jnp.roll(blocked, dshift)
-        oob = idx < dshift  # no left neighbor
-        summed = jac_add(acc, prev)
-        take = blocked | oob  # segment boundary inside the window: keep own acc
-        acc = {k: d.select(take, acc[k], summed[k]) for k in acc}
-        blocked = blocked | (prev_blocked & ~oob)
-        return acc, blocked
+    def body(carry):
+        r, acc = carry
+        pos = jnp.clip(flat_starts + r, 0, n - 1)
+        pt_idx = order[lane_w, pos]  # (W*B,)
+        q = {k: v[:, pt_idx] for k, v in points.items()}
+        valid = r < counts
+        q = {k: d.select(valid, q[k], inf_lane[k]) for k in q}
+        return r + 1, jac_add(acc, q)
 
-    acc, _ = jax.lax.fori_loop(0, max(n - 1, 1).bit_length(), hs_step, (sp, heads))
-
-    # last element of each run holds the run total
-    tails = jnp.concatenate([sd[1:] != sd[:-1], jnp.ones((1,), bool)])
-    # scatter run totals into bucket slots (tail digits are unique; non-tails
-    # park at a discarded overflow slot)
-    slot = jnp.where(tails, sd, buckets_n)
-    inf = jac_infinity((buckets_n + 1,))
-    buckets = {}
-    for k in ("x", "y", "z"):
-        buckets[k] = inf[k].at[:, slot].set(acc[k], mode="drop")[:, :buckets_n]
-    return buckets
+    _, acc = jax.lax.while_loop(
+        lambda carry: carry[0] < max_run, body, (jnp.int32(0), inf_lane)
+    )
+    return {k: v.reshape(16, w_n, buckets_n) for k, v in acc.items()}
 
 
 def _bucket_reduce(buckets, buckets_n):
-    """sum_{j>=1} j * B_j = sum of suffix sums; log-depth Hillis-Steele scans."""
+    """sum_{j>=1} j * B_j per window = sum of suffix sums.
+
+    buckets: jac pytree (16, W, buckets_n) -> window sums (16, W).
+    Log-depth Hillis-Steele scans over the bucket axis, all windows batched.
+    """
     assert buckets_n & (buckets_n - 1) == 0
     d = df()
-    inf = jac_infinity((buckets_n,))
+    batch = buckets["x"].shape[1:]
+    inf = jac_infinity(batch)
     mask = jnp.arange(buckets_n) == 0  # digit 0 contributes nothing
-    buckets = {k: d.select(mask, inf[k], buckets[k]) for k in buckets}
+    buckets = {k: d.select(jnp.broadcast_to(mask, batch), inf[k], buckets[k]) for k in buckets}
 
     idx = jnp.arange(buckets_n)
 
@@ -226,20 +230,20 @@ def _bucket_reduce(buckets, buckets_n):
         def step(s, acc):
             dshift = jnp.left_shift(1, s)
             prev = {k: jnp.roll(v, dshift, axis=-1) for k, v in acc.items()}
-            oob = idx < dshift
+            oob = jnp.broadcast_to(idx < dshift, batch)
             prev = {k: d.select(oob, inf[k], prev[k]) for k in prev}
             return jac_add(acc, prev)
 
         return jax.lax.fori_loop(0, buckets_n.bit_length() - 1, step, pts)
 
     # suffix sums = reversed prefix sums
-    rev = {k: v[:, ::-1] for k, v in buckets.items()}
+    rev = {k: v[..., ::-1] for k, v in buckets.items()}
     suffix_rev = prefix_scan(rev)
     # sum_{j>=1} j*B_j = sum_{j>=1} suffix[j] — drop suffix[0] (last element)
-    last = jnp.arange(buckets_n) == buckets_n - 1
+    last = jnp.broadcast_to(jnp.arange(buckets_n) == buckets_n - 1, batch)
     suffix_rev = {k: d.select(last, inf[k], v) for k, v in suffix_rev.items()}
     total = prefix_scan(suffix_rev)
-    return {k: v[:, -1] for k, v in total.items()}
+    return {k: v[..., -1] for k, v in total.items()}
 
 
 def _msm_raw(n: int):
@@ -250,22 +254,19 @@ def _msm_raw(n: int):
     def fn(px, py, scalars_canonical):
         points = jac_from_affine(px, py)
         digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
+        bsums = _bucket_sums_all_windows(points, digits, buckets_n)
+        wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
 
-        def per_window(w, acc):
-            # Horner: acc = acc * 2^c + window_sum, MSB window first
+        def horner(i, acc):
+            # acc = acc * 2^c + window_sum, MSB window first
             acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)
-            bsums = _segmented_bucket_sums(points, digits[w], buckets_n)
-            wsum = _bucket_reduce(bsums, buckets_n)
-            return jac_add(acc, wsum)
+            w = {
+                k: jax.lax.dynamic_index_in_dim(v, num_windows - 1 - i, 1, False)
+                for k, v in wsums.items()
+            }
+            return jac_add(acc, w)
 
-        acc = jac_infinity(())
-        acc = jax.lax.fori_loop(
-            0,
-            num_windows,
-            lambda i, a: per_window(num_windows - 1 - i, a),
-            acc,
-        )
-        return acc
+        return jax.lax.fori_loop(0, num_windows, horner, jac_infinity(()))
 
     return fn
 

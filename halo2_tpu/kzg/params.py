@@ -56,10 +56,14 @@ class ParamsKZG:
             g1_x, g1_y = d.encode(xs), d.encode(ys)
         else:
             # batched fixed-base scalar mul on device: G * tau^i for all i
-            sc = np.zeros((256, n), np.uint32)
+            limbs = np.zeros((16, n), np.uint32)
             for i, v in enumerate(powers):
-                for b in range(256):
-                    sc[b, i] = (v >> b) & 1
+                for j in range(16):
+                    limbs[j, i] = (v >> (16 * j)) & 0xFFFF
+            # (16, n) 16-bit limbs -> (256, n) LSB-first bits, vectorized
+            sc = (
+                (limbs[:, None, :] >> np.arange(16, dtype=np.uint32)[None, :, None]) & 1
+            ).reshape(256, n)
             gx, gy = ec.g1_to_ints(ec.G1)
             base = jac_from_affine(
                 jnp.broadcast_to(d.encode([gx]), (16, n)),

@@ -1,0 +1,118 @@
+"""L9 multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded MSM / distributed NTT / sharded prove step are
+bit-identical to their single-chip counterparts (which are themselves pinned
+against the reference's semantics by the other test files).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_tpu.ec import host as ec
+from halo2_tpu.ec.device import df as dfq, jac_to_affine, msm
+from halo2_tpu.field.device import get_device_field
+from halo2_tpu.field.params import BN254_FR
+from halo2_tpu.parallel import make_mesh, sharded_msm, sharded_ntt
+from halo2_tpu.poly.domain import _ntt_fn
+
+
+def _random_points(n, seed=1):
+    rng = random.Random(seed)
+    pts = [ec.ec_mul(ec.G1, rng.randrange(1, ec.R)) for _ in range(n)]
+    xs = [ec.g1_to_ints(p)[0] for p in pts]
+    ys = [ec.g1_to_ints(p)[1] for p in pts]
+    d = dfq()
+    return pts, d.encode(xs), d.encode(ys)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"dp": 2, "sp": 4}
+
+
+def test_sharded_msm_matches_single_chip():
+    n = 32
+    rng = random.Random(7)
+    pts, px, py = _random_points(n)
+    scalars = [rng.randrange(ec.R) for _ in range(n)]
+    dfr = get_device_field(BN254_FR)
+    sc = dfr.encode(scalars, to_mont=False)
+
+    mesh = make_mesh(8)
+    got = sharded_msm(mesh, px, py, sc)
+    want = msm(px, py, sc)
+    gx, gy = jac_to_affine(got)
+    wx, wy = jac_to_affine(want)
+    assert np.array_equal(np.asarray(gx), np.asarray(wx))
+    assert np.array_equal(np.asarray(gy), np.asarray(wy))
+
+    # host oracle
+    acc = None
+    for p, s in zip(pts, scalars):
+        acc = ec.ec_add(acc, ec.ec_mul(p, s)) if acc else ec.ec_mul(p, s)
+    hx, hy = ec.g1_to_ints(acc)
+    assert int(dfq().decode(gx)) == hx
+    assert int(dfq().decode(gy)) == hy
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_sharded_ntt_matches_single_chip(inverse):
+    n = 256
+    rng = random.Random(11)
+    dfr = get_device_field(BN254_FR)
+    vals = [rng.randrange(BN254_FR.p) for _ in range(n)]
+    x = dfr.encode(vals)
+    mesh = make_mesh(8)
+    got = sharded_ntt(mesh, BN254_FR, x, inverse=inverse)
+    want = _ntt_fn(BN254_FR, n, inverse)(x)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_prove_step_flagship():
+    """Full sharded prove step on the flagship circuit (tiny: depth 2, k=9)."""
+    from halo2_tpu.circuits.merkle_sum_tree import (
+        MerkleSumTreeCircuit,
+        Node,
+        compute_merkle_sum_root,
+    )
+    from halo2_tpu.field import Fr
+    from halo2_tpu.parallel import build_sharded_prove_step
+    from halo2_tpu.plonkish.assignment import run_synthesis
+    from halo2_tpu.plonkish.evaluator import encode_columns
+
+    leaf = Node(Fr.from_u64(10), Fr.from_u64(100))
+    elements = [
+        Node(Fr.from_u64(1), Fr.from_u64(10)),
+        Node(Fr.from_u64(5), Fr.from_u64(50)),
+    ]
+    indices = [Fr.from_u64(0), Fr.from_u64(0)]
+    root = compute_merkle_sum_root(Fr, leaf, elements, indices)
+    assets = Fr.from_u64(500)
+    circuit = MerkleSumTreeCircuit(
+        Fr,
+        leaf.hash,
+        leaf.balance,
+        [e.hash for e in elements],
+        [e.balance for e in elements],
+        indices,
+        assets,
+    )
+    public = [leaf.hash, leaf.balance, root.hash, assets]
+
+    k = 9
+    cs, _cfg, assignment = run_synthesis(circuit, k, [public], witness=True, field=Fr)
+    fin = assignment.finalize()
+    dfr = get_device_field(BN254_FR)
+    columns = encode_columns(dfr, fin)
+    n = 1 << k
+
+    _pts, px, py = _random_points(16)
+    mesh = make_mesh(8)
+    step = build_sharded_prove_step(mesh, cs, BN254_FR, 16)
+    violations, commitment = step(columns, px, py)
+    assert int(jnp.sum(violations)) == 0
+    assert commitment["x"].shape == (16,)
