@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 K = 16  # 2^16 points
 BASELINE_POINTS_PER_SEC = 1.0e6
@@ -46,17 +47,19 @@ def bench_msm():
     rng = random.Random(42)
     scalars = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False)
 
-    # compile + warmup
+    # compile + warmup.  NOTE: sync via host readback (np.asarray), NOT
+    # block_until_ready — the axon TPU tunnel returns from block_until_ready
+    # before device execution completes, which silently fakes the timing.
     t0 = time.perf_counter()
     out = msm(params.g1_x, params.g1_y, scalars)
-    jax.block_until_ready(out)
+    np.asarray(out["x"])
     log(f"MSM compile+first run: {time.perf_counter() - t0:.1f}s")
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = msm(params.g1_x, params.g1_y, scalars)
-    jax.block_until_ready(out)
+        np.asarray(out["x"])
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt
 
@@ -74,12 +77,12 @@ def bench_ntt():
     x = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(4096)])
     x = jnp.tile(x, (1, n // 4096))
     fn = _ntt_fn(BN254_FR, n, False)
-    jax.block_until_ready(fn(x))
+    np.asarray(fn(x)[0, :1])  # sync via readback (see bench_msm note)
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         x2 = fn(x)
-    jax.block_until_ready(x2)
+        np.asarray(x2[0, :1])
     dt = (time.perf_counter() - t0) / iters
     butterflies = (n // 2) * (n.bit_length() - 1)
     return butterflies / dt, dt

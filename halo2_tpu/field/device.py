@@ -30,6 +30,13 @@ _MASK = np.uint32(LIMB_MASK)
 _SHIFT = LIMB_BITS
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_wanted() -> bool:
+    from .pallas_mul import pallas_available
+
+    return pallas_available()
+
+
 def _col(limbs_list):
     """Host limb list -> (L, 1) numpy col for broadcasting against (L, *B)."""
     return np.array(limbs_list, dtype=np.uint32)
@@ -178,8 +185,15 @@ class DeviceField:
         sequential limb steps); result = (T + m*p) / R < 2p.  All carry
         propagation is Kogge-Stone (log-depth), all limb convolutions are one
         f32 matmul each — zero XLA loops per multiply, MXU-friendly on TPU.
+
+        On the TPU backend the same algorithm runs as a fused Pallas kernel
+        (field.pallas_mul) keeping every intermediate in VMEM.
         """
         a, b, batch = self._bcast(a, b)
+        if _pallas_wanted():
+            from .pallas_mul import mont_mul
+
+            return mont_mul(self.spec, a, b)
         t = self._conv(a, b, self._t_full)  # (2L, *B) columns < 2^21
 
         t_low_norm, _ = self._norm(t[:L])  # value mod R, canonical limbs

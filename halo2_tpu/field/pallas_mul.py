@@ -1,0 +1,172 @@
+"""Pallas TPU kernel for batched Montgomery multiplication.
+
+The jnp formulation in :mod:`device` materializes every intermediate of the
+limb convolution ((16,16,B) products, (512,B) f32 stacks, four Kogge-Stone
+carry networks) through HBM — ~50x more traffic than the inputs themselves,
+which is what bounds MSM/NTT throughput (the BASELINE.json north-star
+metrics).  This kernel runs the identical algorithm with every intermediate
+in VMEM: per (16, TILE) block it reads a, b and writes the product — 192
+bytes of HBM traffic per lane instead of kilobytes.  The three limb
+convolutions ride the MXU as (32,512)x(512,TILE) f32 one-hot matmuls (all
+values < 2^24, so f32 accumulation is exact).
+
+Used automatically by DeviceField.mul on the TPU backend; the jnp path
+remains for CPU (tests run on a virtual CPU mesh) and as a fallback
+(HALO2_TPU_NO_PALLAS=1).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .params import FieldSpec, LIMB_BITS, LIMB_MASK
+
+L = 16
+U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+_SHIFT = LIMB_BITS
+TILE = 512
+
+
+def _norm(t):
+    """Kogge-Stone carry normalization: (nl, T) limbs < 2^26 -> canonical."""
+    nl = t.shape[0]
+
+    def shift1(x, d=1):
+        return jnp.concatenate([jnp.zeros((d,) + x.shape[1:], U32), x[:-d]])
+
+    c0 = t >> _SHIFT
+    v1 = (t & _MASK) + shift1(c0)
+    co = c0[nl - 1]
+    g1 = v1 >> _SHIFT
+    v2 = (v1 & _MASK) + shift1(g1)
+    co = co + g1[nl - 1]
+    g = v2 >> _SHIFT
+    p_flag = ((v2 & _MASK) == _MASK).astype(U32)
+    d = 1
+    while d < nl:
+        g = g | (p_flag & shift1(g, d))
+        p_flag = p_flag & shift1(p_flag, d)
+        d *= 2
+    out = ((v2 & _MASK) + shift1(g)) & _MASK
+    co = co + g[nl - 1]
+    return out, co
+
+
+def _conv(x, y, t_mat):
+    """(16,T)x(16,T) limbwise product -> column sums via one exact f32 dot."""
+    prod = x[:, None, :] * y[None, :, :]  # (16, 16, T) u32, exact
+    lo = (prod & _MASK).reshape(L * L, -1)
+    hi = (prod >> _SHIFT).reshape(L * L, -1)
+    # mosaic has no u32<->f32 cast; hop through i32 (all values < 2^24)
+    stacked = (
+        jnp.concatenate([lo, hi]).astype(jnp.int32).astype(jnp.float32)
+    )  # (512, T)
+    t = jax.lax.dot_general(
+        t_mat,
+        stacked,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,  # exact: all values < 2^24
+        preferred_element_type=jnp.float32,
+    )
+    return t.astype(jnp.int32).astype(U32)
+
+
+def _mont_mul_kernel(a_ref, b_ref, tmat_ref, nprime_ref, p_ref, o_ref):
+    a = a_ref[:]
+    b = b_ref[:]
+    t_mat = tmat_ref[:]  # (32, 512) f32 one-hot column assignment
+    nprime = nprime_ref[:]  # (16, 1) broadcastable
+    p_limbs = p_ref[:]
+
+    t = _conv(a, b, t_mat)  # (32, T)
+    t_low, _ = _norm(t[:L])
+    m_cols = _conv(t_low, jnp.broadcast_to(nprime, a.shape), t_mat[:L])
+    m, _ = _norm(m_cols)
+    mp = _conv(m, jnp.broadcast_to(p_limbs, a.shape), t_mat)
+    s = t + mp
+    _, c_low = _norm(s[:L])
+    zrows = jnp.zeros((L - 1,) + c_low.shape, U32)
+    high = s[L:] + jnp.concatenate([c_low[None], zrows])  # carry into limb 0
+    res, _ = _norm(high)  # < 2p
+
+    # conditional subtract p: res - p with borrow detect
+    comp = jnp.broadcast_to(p_limbs, res.shape) ^ _MASK
+    one0 = jnp.concatenate([jnp.ones((1,) + c_low.shape, U32), zrows])
+    sub, carry = _norm(res + comp + one0)
+    o_ref[:] = jnp.where((carry == 1)[None, :], sub, res)  # no borrow -> res >= p
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call(spec: FieldSpec, m: int):
+    """Jittable pallas montmul over (16, m) operands (m multiple of TILE)."""
+    t_full = np.zeros((2 * L, 2 * L * L), np.float32)
+    for i in range(L):
+        for j in range(L):
+            t_full[i + j, i * L + j] = 1.0
+            t_full[i + j + 1, L * L + i * L + j] = 1.0
+    nprime = (-pow(spec.p, -1, 1 << 256)) % (1 << 256)
+    nprime_np = np.array(
+        [[(nprime >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32
+    )
+    p_np = np.array([[(spec.p >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32)
+
+    grid = (m // TILE,)
+    tile_spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    call = pl.pallas_call(
+        _mont_mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, m), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            tile_spec,
+            tile_spec,
+            const_spec((2 * L, 2 * L * L)),
+            const_spec((L, 1)),
+            const_spec((L, 1)),
+        ],
+        out_specs=tile_spec,
+    )
+
+    # keep constants as NUMPY: a jnp.asarray here could run under an active
+    # trace (first use is inside a while_loop body) and leak its tracer into
+    # the lru_cache closure
+    def fn(a, b):
+        return call(a, b, t_full, nprime_np, p_np)
+
+    return fn
+
+
+def pallas_available() -> bool:
+    if os.environ.get("HALO2_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product over arbitrary batch shapes (limb axis leading)."""
+    batch = a.shape[1:]
+    m = 1
+    for s in batch:
+        m *= s
+    a2 = a.reshape(L, m)
+    b2 = b.reshape(L, m)
+    pad = (-m) % TILE
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+    out = _mont_mul_call(spec, m + pad)(a2, b2)
+    if pad:
+        out = out[:, :m]
+    return out.reshape((L,) + batch)
