@@ -225,12 +225,16 @@ def _bucket_sums_all_windows(points, digits, buckets_n):
 
     lane_w = jnp.arange(w_n * buckets_n) // buckets_n  # window of each lane
     inf_lane = jac_infinity((w_n * buckets_n,))
+    # one stacked, TRANSPOSED (N, 48) tensor: TPU gathers rows (major axis)
+    # far faster than lanes, and one gather replaces three
+    stacked_t = jnp.concatenate([points["x"], points["y"], points["z"]]).T
 
     def body(carry):
         r, acc = carry
         pos = jnp.clip(flat_starts + r, 0, n - 1)
         pt_idx = order[lane_w, pos]  # (W*B,)
-        q = {k: v[:, pt_idx] for k, v in points.items()}
+        g = stacked_t[pt_idx].T  # (48, W*B)
+        q = {"x": g[:16], "y": g[16:32], "z": g[32:]}
         valid = r < counts
         q = {k: d.select(valid, q[k], inf_lane[k]) for k in q}
         return r + 1, jac_add(acc, q)
