@@ -196,20 +196,27 @@ def _digits_from_limbs(scalars_canonical, c: int):
     return jnp.stack(parts, axis=1).reshape(16 * per_limb, -1)
 
 
-def _bucket_sums_all_windows(points, digits, buckets_n):
+def _bucket_sums_all_windows(points, digits, buckets_n, top_split: int = 4):
     """Per-(window, bucket) point sums via round-robin accumulation.
 
     points: jac pytree (16, N); digits: (W, N) int32 in [0, buckets_n).
     Returns bucket sums as jac pytree (16, W, buckets_n).
 
-    The classic bucket-serial schedule, vectorized over all W*buckets_n
-    buckets at once: sort each window's digits, then in round r every bucket
-    absorbs its r-th point (one full-width ``jac_add`` per round, all windows
-    in parallel).  Total work is N points per window + padding slack
-    (rounds = the LONGEST run, so utilization degrades only under adversarial
-    digit skew — correctness never depends on the distribution because the
-    ``while_loop`` trip count is the true max run length).  The XLA graph
-    holds exactly ONE jac_add — compile time stays flat in N.
+    The classic bucket-serial schedule, vectorized over all buckets at once:
+    sort each window's digits, then in round r every bucket lane absorbs its
+    r-th point (one full-width ``jac_add`` per round, all windows in
+    parallel).  The XLA graph holds exactly ONE jac_add — compile time stays
+    flat in N.  Two load-balance refinements (NOTES_ROUND2.md profile):
+
+      * bucket 0 never contributes (the reducer masks it), so its runs are
+        skipped — also makes zero/small scalars nearly free;
+      * the TOP window is structurally skewed (scalars < p < 2^254, so its
+        digits use a fraction of the bucket range and runs are ~B/x longer);
+        its runs are split over ``top_split`` slice-lanes and the slices are
+        folded afterwards, cutting the while_loop trip count ~top_split-x.
+
+    Correctness never depends on the digit distribution: the ``while_loop``
+    trip count is the true max slice length.
     """
     d = df()
     w_n, n = digits.shape
@@ -219,30 +226,63 @@ def _bucket_sums_all_windows(points, digits, buckets_n):
     bvals = jnp.arange(buckets_n, dtype=sd.dtype)
     starts = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="left"))(sd)
     ends = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="right"))(sd)
-    counts = (ends - starts).reshape(-1)  # (W*B,)
-    flat_starts = starts.reshape(-1)
-    max_run = jnp.max(counts)
+    counts = ends - starts  # (W, B)
+    counts = counts.at[:, 0].set(0)  # bucket 0 is discarded by the reducer
 
-    lane_w = jnp.arange(w_n * buckets_n) // buckets_n  # window of each lane
-    inf_lane = jac_infinity((w_n * buckets_n,))
-    # one stacked, TRANSPOSED (N, 48) tensor: TPU gathers rows (major axis)
-    # far faster than lanes, and one gather replaces three
+    # lane layout: windows 0..W-2 get one lane per bucket; the top window
+    # gets top_split slice-lanes per bucket (slice s covers the half-open
+    # range [cnt*s//S, cnt*(s+1)//S) of its run)
+    s_idx = jnp.arange(top_split)[:, None]  # (S, 1)
+    top_cnt = counts[w_n - 1][None, :]  # (1, B)
+    top_lo = starts[w_n - 1][None, :] + (top_cnt * s_idx) // top_split
+    top_hi = starts[w_n - 1][None, :] + (top_cnt * (s_idx + 1)) // top_split
+    flat_starts = jnp.concatenate(
+        [starts[: w_n - 1].reshape(-1), top_lo.reshape(-1)]
+    )
+    flat_counts = jnp.concatenate(
+        [counts[: w_n - 1].reshape(-1), (top_hi - top_lo).reshape(-1)]
+    )
+    n_lanes = flat_starts.shape[0]
+    lane_w = jnp.concatenate(
+        [
+            jnp.arange((w_n - 1) * buckets_n) // buckets_n,
+            jnp.full(top_split * buckets_n, w_n - 1),
+        ]
+    )
+    max_run = jnp.max(flat_counts)
+
+    inf_lane = jac_infinity((n_lanes,))
+    # one stacked (N, 48) tensor: ONE row-gather per round instead of three
     stacked_t = jnp.concatenate([points["x"], points["y"], points["z"]]).T
 
     def body(carry):
         r, acc = carry
         pos = jnp.clip(flat_starts + r, 0, n - 1)
-        pt_idx = order[lane_w, pos]  # (W*B,)
-        g = stacked_t[pt_idx].T  # (48, W*B)
+        pt_idx = order[lane_w, pos]  # (n_lanes,)
+        g = stacked_t[pt_idx].T  # (48, n_lanes)
         q = {"x": g[:16], "y": g[16:32], "z": g[32:]}
-        valid = r < counts
+        valid = r < flat_counts
         q = {k: d.select(valid, q[k], inf_lane[k]) for k in q}
         return r + 1, jac_add(acc, q)
 
     _, acc = jax.lax.while_loop(
         lambda carry: carry[0] < max_run, body, (jnp.int32(0), inf_lane)
     )
-    return {k: v.reshape(16, w_n, buckets_n) for k, v in acc.items()}
+
+    head = {k: v[:, : (w_n - 1) * buckets_n] for k, v in acc.items()}
+    top = {
+        k: v[:, (w_n - 1) * buckets_n :].reshape(16, top_split, buckets_n)
+        for k, v in acc.items()
+    }
+    top_sum = {k: v[:, 0] for k, v in top.items()}
+    for s in range(1, top_split):
+        top_sum = jac_add(top_sum, {k: v[:, s] for k, v in top.items()})
+    return {
+        k: jnp.concatenate(
+            [head[k].reshape(16, w_n - 1, buckets_n), top_sum[k][:, None]], axis=1
+        )
+        for k in acc
+    }
 
 
 def _bucket_reduce(buckets, buckets_n):
