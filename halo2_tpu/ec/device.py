@@ -105,7 +105,15 @@ def jac_double(p):
 
 
 def jac_add(p, q):
-    """Complete Jacobian addition via add-2007-bl + exception selects."""
+    """Complete Jacobian addition via add-2007-bl + exception selects.
+
+    The P == Q exception needs a doubling, but two independently-computed
+    points coincide with negligible probability on real workloads — so the
+    doubling branch sits behind a scalar ``lax.cond`` and its 7 extra field
+    muls are only paid on the (rare) rounds where some lane actually hits it.
+    Under ``vmap`` the cond lowers to a select (both branches run), which is
+    exactly the old behavior — never worse.
+    """
     if _fused_wanted(p, q):
         from .pallas_jac import jac_add_fused
 
@@ -136,7 +144,6 @@ def jac_add(p, q):
     p_inf = d.is_zero(z1)
     q_inf = d.is_zero(z2)
 
-    dbl = jac_double(p)
     same = h_zero & r_zero & ~p_inf & ~q_inf       # P == Q -> double
     opposite = h_zero & ~r_zero & ~p_inf & ~q_inf  # P == -Q -> infinity
 
@@ -144,12 +151,57 @@ def jac_add(p, q):
         return d.select(mask, a, b)
 
     out = jac(x3, y3, z3)
-    out = {k: sel(same, dbl[k], out[k]) for k in out}
+    out = jax.lax.cond(
+        jnp.any(same),
+        lambda o: {k: sel(same, v, o[k]) for k, v in jac_double(p).items()},
+        lambda o: o,
+        out,
+    )
     inf = jac_infinity(x3.shape[1:])
     out = {k: sel(opposite, inf[k], out[k]) for k in out}
     out = {k: sel(p_inf, q[k], out[k]) for k in out}
     out = {k: sel(q_inf, p[k], out[k]) for k in out}
     return out
+
+
+def jac_madd(p, qx, qy, valid):
+    """Mixed Jacobian + affine add: p + (qx, qy) where ``valid`` else p.
+
+    madd-2007-bl (7M + 4S — vs 11M + 5S + an unconditional double for the
+    complete add this replaces in the Pippenger bucket loop).  (qx, qy) must
+    be a real curve point (z = 1, never infinity); ``valid`` masks lanes out.
+    Exceptions handled completely: p == -q falls out naturally (z3 = 0),
+    p == infinity selects (qx, qy, 1), and p == q takes a jac_double behind
+    a scalar ``lax.cond`` that almost never fires.
+    """
+    d = df()
+    x1, y1, z1 = p["x"], p["y"], p["z"]
+    z1z1 = d.square(z1)
+    u2 = d.mul(qx, z1z1)
+    s2 = d.mul(qy, d.mul(z1, z1z1))
+    h = d.sub(u2, x1)
+    hh = d.square(h)
+    i = d.double(d.double(hh))
+    j = d.mul(h, i)
+    rr = d.double(d.sub(s2, y1))
+    v = d.mul(x1, i)
+    x3 = d.sub(d.sub(d.square(rr), j), d.double(v))
+    y3 = d.sub(d.mul(rr, d.sub(v, x3)), d.double(d.mul(y1, j)))
+    z3 = d.sub(d.sub(d.square(d.add(z1, h)), z1z1), hh)
+    out = jac(x3, y3, z3)
+
+    p_inf = d.is_zero(z1)
+    same = valid & d.is_zero(h) & d.is_zero(rr) & ~p_inf
+    out = jax.lax.cond(
+        jnp.any(same),
+        lambda o: {k: d.select(same, v, o[k]) for k, v in jac_double(p).items()},
+        lambda o: o,
+        out,
+    )
+    one = d.one_mont(qx.shape[1:])
+    aff = jac(qx, qy, one)
+    out = {k: d.select(p_inf, aff[k], out[k]) for k in out}
+    return {k: d.select(valid, out[k], p[k]) for k in out}
 
 
 def jac_to_affine(p):
@@ -252,18 +304,18 @@ def _bucket_sums_all_windows(points, digits, buckets_n, top_split: int = 4):
     max_run = jnp.max(flat_counts)
 
     inf_lane = jac_infinity((n_lanes,))
-    # one stacked (N, 48) tensor: ONE row-gather per round instead of three
-    stacked_t = jnp.concatenate([points["x"], points["y"], points["z"]]).T
+    # one stacked (N, 32) tensor: ONE row-gather per round instead of two.
+    # NOTE: assumes no input point is infinity ((0,0) rows would corrupt the
+    # mixed add) — msm() guards this by zeroing those scalars' digits.
+    stacked_t = jnp.concatenate([points["x"], points["y"]]).T
 
     def body(carry):
         r, acc = carry
         pos = jnp.clip(flat_starts + r, 0, n - 1)
         pt_idx = order[lane_w, pos]  # (n_lanes,)
-        g = stacked_t[pt_idx].T  # (48, n_lanes)
-        q = {"x": g[:16], "y": g[16:32], "z": g[32:]}
+        g = stacked_t[pt_idx].T  # (32, n_lanes)
         valid = r < flat_counts
-        q = {k: d.select(valid, q[k], inf_lane[k]) for k in q}
-        return r + 1, jac_add(acc, q)
+        return r + 1, jac_madd(acc, g[:16], g[16:], valid)
 
     _, acc = jax.lax.while_loop(
         lambda carry: carry[0] < max_run, body, (jnp.int32(0), inf_lane)
@@ -328,9 +380,12 @@ def _msm_raw(n: int):
     buckets_n = 1 << c
 
     def fn(px, py, scalars_canonical):
-        points = jac_from_affine(px, py)
         digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
-        bsums = _bucket_sums_all_windows(points, digits, buckets_n)
+        # infinity inputs ((0,0) marker) can't ride the mixed add — route all
+        # their digits to bucket 0, which the reducer discards
+        pt_inf = df().is_zero(px) & df().is_zero(py)
+        digits = jnp.where(pt_inf[None], 0, digits)
+        bsums = _bucket_sums_all_windows({"x": px, "y": py}, digits, buckets_n)
         wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
 
         def horner(i, acc):

@@ -262,8 +262,14 @@ class DeviceField:
         return jnp.where(mask[None], a, b)
 
     # ----------------------------------------------------------- conversions
-    def encode(self, values, to_mont: bool = True):
-        """Host ints / PrimeField elems -> (L, N) device array (Montgomery)."""
+    def encode_np(self, values, to_mont: bool = True):
+        """Host ints / PrimeField elems -> (L, N) NUMPY limb array (Montgomery).
+
+        Use this (not :meth:`encode`) inside ``lru_cache``d constant builders:
+        ``jnp.asarray`` under an active jit trace yields a tracer, and caching
+        a tracer leaks it out of its trace (UnexpectedTracerError later).
+        Numpy constants are trace-safe and get baked in at jit time.
+        """
         out = np.empty((L, len(values)), np.uint32)
         p, r = self.p, self.spec.r
         for i, v in enumerate(values):
@@ -272,7 +278,11 @@ class DeviceField:
                 v = v * r % p
             for j in range(L):
                 out[j, i] = (v >> (LIMB_BITS * j)) & LIMB_MASK
-        return jnp.asarray(out)
+        return out
+
+    def encode(self, values, to_mont: bool = True):
+        """Host ints / PrimeField elems -> (L, N) device array (Montgomery)."""
+        return jnp.asarray(self.encode_np(values, to_mont=to_mont))
 
     def encode_scalar(self, v, to_mont: bool = True):
         return self.encode([v], to_mont=to_mont)[:, 0]

@@ -51,7 +51,7 @@ def _split(n: int) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_matrix(spec: FieldSpec, n: int, inverse: bool):
-    """omega^{jj*k1} as a Montgomery (16, n1, n2) device tensor."""
+    """omega^{jj*k1} as a Montgomery (16, n1, n2) NUMPY tensor (trace-safe)."""
     n1, n2 = _split(n)
     df = get_device_field(spec)
     p, s = spec.p, spec.two_adicity
@@ -66,7 +66,7 @@ def _twiddle_matrix(spec: FieldSpec, n: int, inverse: bool):
             row.append(v)
             v = v * row_base % p
         vals.extend(row)
-    return df.encode(vals).reshape(16, n1, n2)
+    return df.encode_np(vals).reshape(16, n1, n2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -77,10 +77,12 @@ def _sharded_ntt_fn(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: st
     df = get_device_field(spec)
     stages1 = _stage_twiddles(spec, n1, inverse)
     stages2 = _stage_twiddles(spec, n2, inverse)
-    rev1 = jnp.asarray(_bit_reverse_perm(n1))
-    rev2 = jnp.asarray(_bit_reverse_perm(n2))
+    # all closure constants are NUMPY: this cache may be populated under an
+    # active jit trace (e.g. from pipeline.build_sharded_prove_step's step)
+    rev1 = _bit_reverse_perm(n1)
+    rev2 = _bit_reverse_perm(n2)
     wmat = _twiddle_matrix(spec, n, inverse)
-    n_inv = df.encode_scalar(pow(n, -1, spec.p))[:, None, None]
+    n_inv = df.encode_np([pow(n, -1, spec.p)])[:, :, None]
 
     def local_fn(x, w):  # x: (16, n1, n2/S) local, w: matching twiddle shard
         x = _ntt_along_axis1(df, stages1, rev1, x)       # NTT over i -> k1

@@ -33,7 +33,8 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
-    """Per-stage twiddle tensors, Montgomery-encoded on device."""
+    """Per-stage twiddle tensors, Montgomery-encoded — NUMPY (trace-safe:
+    this cache is populated lazily, possibly under an active jit trace)."""
     df = get_device_field(spec)
     s = spec.two_adicity
     omega = pow(spec.root_of_unity, 1 << (s - n.bit_length() + 1), spec.p)
@@ -44,7 +45,7 @@ def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
     while m < n:
         w = pow(omega, n // (2 * m), spec.p)
         tw = [pow(w, j, spec.p) for j in range(m)]
-        stages.append(df.encode(tw))  # (L, m)
+        stages.append(df.encode_np(tw))  # (L, m)
         m *= 2
     return stages
 
@@ -52,9 +53,9 @@ def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
 @functools.lru_cache(maxsize=None)
 def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
     df = get_device_field(spec)
-    rev = jnp.asarray(_bit_reverse_perm(n))
+    rev = _bit_reverse_perm(n)  # numpy: trace-safe constant
     stages = _stage_twiddles(spec, n, inverse)
-    n_inv = df.encode_scalar(pow(n, -1, spec.p))[:, None]
+    n_inv = df.encode_np([pow(n, -1, spec.p)])
 
     def fn(coeffs):  # (L, n) Montgomery
         x = coeffs[:, rev]
