@@ -248,29 +248,34 @@ def _digits_from_limbs(scalars_canonical, c: int):
     return jnp.stack(parts, axis=1).reshape(16 * per_limb, -1)
 
 
-def _bucket_sums_all_windows(points, digits, buckets_n, top_split: int = 4):
-    """Per-(window, bucket) point sums via round-robin accumulation.
+def _bucket_sums_all_windows(
+    points, digits, buckets_n, head_split: int = 8, top_split: int = 32
+):
+    """Per-(window, bucket) point sums via balanced round-robin accumulation.
 
     points: jac pytree (16, N); digits: (W, N) int32 in [0, buckets_n).
     Returns bucket sums as jac pytree (16, W, buckets_n).
 
     The classic bucket-serial schedule, vectorized over all buckets at once:
-    sort each window's digits, then in round r every bucket lane absorbs its
-    r-th point (one full-width ``jac_add`` per round, all windows in
-    parallel).  The XLA graph holds exactly ONE jac_add — compile time stays
-    flat in N.  Two load-balance refinements (NOTES_ROUND2.md profile):
+    sort each window's digits, then in round r every lane absorbs its r-th
+    point (one full-width ``jac_madd`` per round, all windows in parallel).
+    The XLA graph holds exactly ONE jac_madd — compile time stays flat in N.
+    Load-balance refinements (NOTES_ROUND2.md profile):
 
       * bucket 0 never contributes (the reducer masks it), so its runs are
         skipped — also makes zero/small scalars nearly free;
+      * EVERY bucket's run is sliced across ``head_split`` lanes (slice s
+        covers the half-open range [cnt*s//S, cnt*(s+1)//S) of the run) and
+        the slices are log-folded afterwards — the while_loop trip count
+        drops from max-run to ~max-run/S while total field work is constant
+        (the same adds at S-fold lane width, far better VPU occupancy);
       * the TOP window is structurally skewed (scalars < p < 2^254, so its
-        digits use a fraction of the bucket range and runs are ~B/x longer);
-        its runs are split over ``top_split`` slice-lanes and the slices are
-        folded afterwards, cutting the while_loop trip count ~top_split-x.
+        digits use a fraction of the bucket range and runs are ~4x longer);
+        it gets ``top_split`` slices to match.
 
     Correctness never depends on the digit distribution: the ``while_loop``
     trip count is the true max slice length.
     """
-    d = df()
     w_n, n = digits.shape
     order = jnp.argsort(digits, axis=1)  # (W, N)
     sd = jnp.take_along_axis(digits, order, axis=1)
@@ -281,24 +286,23 @@ def _bucket_sums_all_windows(points, digits, buckets_n, top_split: int = 4):
     counts = ends - starts  # (W, B)
     counts = counts.at[:, 0].set(0)  # bucket 0 is discarded by the reducer
 
-    # lane layout: windows 0..W-2 get one lane per bucket; the top window
-    # gets top_split slice-lanes per bucket (slice s covers the half-open
-    # range [cnt*s//S, cnt*(s+1)//S) of its run)
-    s_idx = jnp.arange(top_split)[:, None]  # (S, 1)
-    top_cnt = counts[w_n - 1][None, :]  # (1, B)
-    top_lo = starts[w_n - 1][None, :] + (top_cnt * s_idx) // top_split
-    top_hi = starts[w_n - 1][None, :] + (top_cnt * (s_idx + 1)) // top_split
-    flat_starts = jnp.concatenate(
-        [starts[: w_n - 1].reshape(-1), top_lo.reshape(-1)]
-    )
-    flat_counts = jnp.concatenate(
-        [counts[: w_n - 1].reshape(-1), (top_hi - top_lo).reshape(-1)]
-    )
+    def slices(st, cnt, S):
+        """st, cnt: (..., B) -> slice starts/counts (..., S, B)."""
+        s_idx = jnp.arange(S)[:, None]
+        lo = st[..., None, :] + (cnt[..., None, :] * s_idx) // S
+        hi = st[..., None, :] + (cnt[..., None, :] * (s_idx + 1)) // S
+        return lo, hi - lo
+
+    hs, ts = head_split, top_split
+    head_lo, head_cnt = slices(starts[: w_n - 1], counts[: w_n - 1], hs)
+    top_lo, top_cnt = slices(starts[w_n - 1], counts[w_n - 1], ts)
+    flat_starts = jnp.concatenate([head_lo.reshape(-1), top_lo.reshape(-1)])
+    flat_counts = jnp.concatenate([head_cnt.reshape(-1), top_cnt.reshape(-1)])
     n_lanes = flat_starts.shape[0]
     lane_w = jnp.concatenate(
         [
-            jnp.arange((w_n - 1) * buckets_n) // buckets_n,
-            jnp.full(top_split * buckets_n, w_n - 1),
+            jnp.arange((w_n - 1) * hs * buckets_n) // (hs * buckets_n),
+            jnp.full(ts * buckets_n, w_n - 1),
         ]
     )
     max_run = jnp.max(flat_counts)
@@ -321,20 +325,28 @@ def _bucket_sums_all_windows(points, digits, buckets_n, top_split: int = 4):
         lambda carry: carry[0] < max_run, body, (jnp.int32(0), inf_lane)
     )
 
-    head = {k: v[:, : (w_n - 1) * buckets_n] for k, v in acc.items()}
-    top = {
-        k: v[:, (w_n - 1) * buckets_n :].reshape(16, top_split, buckets_n)
-        for k, v in acc.items()
-    }
-    top_sum = {k: v[:, 0] for k, v in top.items()}
-    for s in range(1, top_split):
-        top_sum = jac_add(top_sum, {k: v[:, s] for k, v in top.items()})
-    return {
-        k: jnp.concatenate(
-            [head[k].reshape(16, w_n - 1, buckets_n), top_sum[k][:, None]], axis=1
-        )
-        for k in acc
-    }
+    def fold(pts, S, lead):
+        """(16, lead, S, B) -> (16, lead, B) log-depth slice fold."""
+        while S > 1:
+            pts = {k: v.reshape(16, lead, S // 2, 2, buckets_n) for k, v in pts.items()}
+            pts = jac_add(
+                {k: v[:, :, :, 0] for k, v in pts.items()},
+                {k: v[:, :, :, 1] for k, v in pts.items()},
+            )
+            S //= 2
+        return {k: v.reshape(16, lead, buckets_n) for k, v in pts.items()}
+
+    head = fold(
+        {k: v[:, : (w_n - 1) * hs * buckets_n].reshape(16, w_n - 1, hs, buckets_n)
+         for k, v in acc.items()},
+        hs, w_n - 1,
+    )
+    top = fold(
+        {k: v[:, (w_n - 1) * hs * buckets_n :].reshape(16, 1, ts, buckets_n)
+         for k, v in acc.items()},
+        ts, 1,
+    )
+    return {k: jnp.concatenate([head[k], top[k]], axis=1) for k in acc}
 
 
 def _bucket_reduce(buckets, buckets_n):

@@ -80,13 +80,11 @@ def _conv(x, y, t_mat):
     return t.astype(jnp.int32).astype(U32)
 
 
-def _mont_mul_kernel(a_ref, b_ref, tmat_ref, nprime_ref, p_ref, o_ref):
-    a = a_ref[:]
-    b = b_ref[:]
-    t_mat = tmat_ref[:]  # (32, 512) f32 one-hot column assignment
-    nprime = nprime_ref[:]  # (16, 1) broadcastable
-    p_limbs = p_ref[:]
+def _mont_mul_vmem(a, b, t_mat, nprime, p_limbs):
+    """Montgomery product of (16, T) canonical-limb arrays, all in VMEM.
 
+    Shared by the standalone montmul kernel and the fused NTT butterfly
+    kernels (poly/pallas_ntt.py)."""
     t = _conv(a, b, t_mat)  # (32, T)
     t_low, _ = _norm(t[:L])
     m_cols = _conv(t_low, jnp.broadcast_to(nprime, a.shape), t_mat[:L])
@@ -102,12 +100,31 @@ def _mont_mul_kernel(a_ref, b_ref, tmat_ref, nprime_ref, p_ref, o_ref):
     comp = jnp.broadcast_to(p_limbs, res.shape) ^ _MASK
     one0 = jnp.concatenate([jnp.ones((1,) + c_low.shape, U32), zrows])
     sub, carry = _norm(res + comp + one0)
-    o_ref[:] = jnp.where((carry == 1)[None, :], sub, res)  # no borrow -> res >= p
+    return jnp.where((carry == 1)[None, :], sub, res)  # no borrow -> res >= p
 
 
-@functools.lru_cache(maxsize=None)
-def _mont_mul_call(spec: FieldSpec, m: int):
-    """Jittable pallas montmul over (16, m) operands (m multiple of TILE)."""
+def _mod_add_vmem(a, b, p_limbs):
+    """(a + b) mod p for canonical (16, T) limb arrays, in VMEM."""
+    s, _ = _norm(a + b)  # < 2p, fits 16 limbs (p is 254-bit)
+    comp = jnp.broadcast_to(p_limbs, s.shape) ^ _MASK
+    zrows = jnp.zeros((L - 1,) + s.shape[1:], U32)
+    one0 = jnp.concatenate([jnp.ones((1,) + s.shape[1:], U32), zrows])
+    sub, carry = _norm(s + comp + one0)
+    return jnp.where((carry == 1)[None, :], sub, s)
+
+
+def _mod_sub_vmem(a, b, p_limbs):
+    """(a - b) mod p for canonical (16, T) limb arrays, in VMEM."""
+    bcomp = b ^ _MASK
+    zrows = jnp.zeros((L - 1,) + a.shape[1:], U32)
+    one0 = jnp.concatenate([jnp.ones((1,) + a.shape[1:], U32), zrows])
+    d, carry = _norm(a + bcomp + one0)  # a - b + 2^256
+    wrapped, _ = _norm(d + jnp.broadcast_to(p_limbs, a.shape))
+    return jnp.where((carry == 1)[None, :], d, wrapped)  # carry -> a >= b
+
+
+def mont_consts(spec: FieldSpec):
+    """(t_mat one-hot f32, nprime (16,1) u32, p (16,1) u32) numpy constants."""
     t_full = np.zeros((2 * L, 2 * L * L), np.float32)
     for i in range(L):
         for j in range(L):
@@ -118,6 +135,19 @@ def _mont_mul_call(spec: FieldSpec, m: int):
         [[(nprime >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32
     )
     p_np = np.array([[(spec.p >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32)
+    return t_full, nprime_np, p_np
+
+
+def _mont_mul_kernel(a_ref, b_ref, tmat_ref, nprime_ref, p_ref, o_ref):
+    o_ref[:] = _mont_mul_vmem(
+        a_ref[:], b_ref[:], tmat_ref[:], nprime_ref[:], p_ref[:]
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call(spec: FieldSpec, m: int):
+    """Jittable pallas montmul over (16, m) operands (m multiple of TILE)."""
+    t_full, nprime_np, p_np = mont_consts(spec)
 
     grid = (m // TILE,)
     tile_spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)

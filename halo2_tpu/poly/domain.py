@@ -52,10 +52,28 @@ def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
 
 @functools.lru_cache(maxsize=None)
 def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
+    from ..field.pallas_mul import pallas_available
+
     df = get_device_field(spec)
     rev = _bit_reverse_perm(n)  # numpy: trace-safe constant
-    stages = _stage_twiddles(spec, n, inverse)
     n_inv = df.encode_np([pow(n, -1, spec.p)])
+
+    if pallas_available() and n >= 512:
+        # fused-butterfly Pallas ladder (poly/pallas_ntt.py): one kernel for
+        # all small stages + one kernel per large stage, VMEM-resident wings
+        from .pallas_ntt import ntt_stages
+
+        ladder = ntt_stages(spec, n, inverse)
+
+        def fn(coeffs):  # (L, n) Montgomery
+            x = ladder(coeffs[:, rev])
+            if inverse:
+                x = df.mul(x, n_inv)
+            return x
+
+        return jax.jit(fn)
+
+    stages = _stage_twiddles(spec, n, inverse)
 
     def fn(coeffs):  # (L, n) Montgomery
         x = coeffs[:, rev]
