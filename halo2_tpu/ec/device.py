@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..jitutil import tuned_jit
+
 from ..field.device import DeviceField, get_device_field
 from ..field.params import BN254_FQ, LIMB_BITS
 
@@ -326,15 +328,24 @@ def _bucket_sums_all_windows(
     )
 
     def fold(pts, S, lead):
-        """(16, lead, S, B) -> (16, lead, B) log-depth slice fold."""
-        while S > 1:
-            pts = {k: v.reshape(16, lead, S // 2, 2, buckets_n) for k, v in pts.items()}
-            pts = jac_add(
-                {k: v[:, :, :, 0] for k, v in pts.items()},
-                {k: v[:, :, :, 1] for k, v in pts.items()},
-            )
-            S //= 2
-        return {k: v.reshape(16, lead, buckets_n) for k, v in pts.items()}
+        """(16, lead, S, B) -> (16, lead, B) sequential slice fold.
+
+        A ``fori_loop`` with ONE jac_add body instead of an unrolled log-depth
+        tree: same total field work (S-1 adds over lead*B lanes), but the
+        compiled module holds a single addition graph — the unrolled tree made
+        XLA compile time explode (468 s for the 2-fold CPU module, and the
+        bulk of the 190 s TPU MSM compile in round 1)."""
+        pts = {k: v.reshape(16, lead, S, buckets_n) for k, v in pts.items()}
+        init = {k: v[:, :, 0] for k, v in pts.items()}
+
+        def body(s, acc):
+            cur = {
+                k: jax.lax.dynamic_index_in_dim(v, s, 2, False)
+                for k, v in pts.items()
+            }
+            return jac_add(acc, cur)
+
+        return jax.lax.fori_loop(1, S, body, init)
 
     head = fold(
         {k: v[:, : (w_n - 1) * hs * buckets_n].reshape(16, w_n - 1, hs, buckets_n)
@@ -416,7 +427,7 @@ def _msm_raw(n: int):
 
 @functools.lru_cache(maxsize=None)
 def _msm_jit(n: int):
-    return jax.jit(_msm_raw(n))
+    return tuned_jit(_msm_raw(n))
 
 
 def msm(px, py, scalars_canonical):
@@ -441,7 +452,7 @@ def _msm_batch_jit(n: int):
         pts = {k: jnp.moveaxis(v, 0, -1) for k, v in out.items()}  # (16, B)
         return jac_to_affine(pts)
 
-    return jax.jit(fn)
+    return tuned_jit(fn)
 
 
 def msm_batch(px, py, scalars_batch):

@@ -16,6 +16,8 @@ import random
 
 import jax
 import jax.numpy as jnp
+
+from ..jitutil import tuned_jit
 import numpy as np
 
 from ..ec import host as ec
@@ -69,8 +71,8 @@ class ParamsKZG:
                 jnp.broadcast_to(d.encode([gx]), (16, n)),
                 jnp.broadcast_to(d.encode([gy]), (16, n)),
             )
-            acc = jax.jit(scalar_mul_batched)(base, jnp.asarray(sc))
-            g1_x, g1_y = jax.jit(jac_to_affine)(acc)
+            acc = tuned_jit(scalar_mul_batched)(base, jnp.asarray(sc))
+            g1_x, g1_y = tuned_jit(jac_to_affine)(acc)
 
         g2 = ec.G2
         s_g2 = ec.ec_mul(ec.G2, tau)

@@ -21,11 +21,14 @@ import functools
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..jitutil import tuned_jit
+
 from ..ec.device import _msm_raw, jac_add
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_msm_fn(mesh: Mesh, n: int, axes: tuple):
+def _sharded_msm_raw(mesh: Mesh, n: int, axes: tuple):
+    """Unjitted sharded-MSM fn — composable inside an outer jit (pipeline)."""
     ndev = 1
     for a in axes:
         ndev *= mesh.shape[a]
@@ -38,9 +41,14 @@ def _sharded_msm_fn(mesh: Mesh, n: int, axes: tuple):
             k: jax.lax.all_gather(v, axes, axis=0) for k, v in part.items()
         }  # leaves (D, 16)
         acc = {k: v[0] for k, v in gathered.items()}
-        for i in range(1, ndev):
-            acc = jac_add(acc, {k: v[i] for k, v in gathered.items()})
-        return acc
+
+        def body(i, a):  # one jac_add body — not ndev-1 unrolled copies
+            return jac_add(
+                a, {k: jax.lax.dynamic_index_in_dim(v, i, 0, False)
+                    for k, v in gathered.items()}
+            )
+
+        return jax.lax.fori_loop(1, ndev, body, acc)
 
     spec = P(None, axes)
     fn = jax.shard_map(
@@ -52,7 +60,12 @@ def _sharded_msm_fn(mesh: Mesh, n: int, axes: tuple):
         # become device-varying after the first iteration; skip the vma check
         check_vma=False,
     )
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fn(mesh: Mesh, n: int, axes: tuple):
+    return tuned_jit(_sharded_msm_raw(mesh, n, axes))
 
 
 def sharded_msm(mesh: Mesh, px, py, scalars_canonical, axes=("dp", "sp")):

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..jitutil import tuned_jit
+
 from ..field.device import get_device_field
 from ..field.params import FieldSpec
 from ..poly.domain import _bit_reverse_perm, _stage_twiddles
@@ -70,7 +72,8 @@ def _twiddle_matrix(spec: FieldSpec, n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_ntt_fn(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: str):
+def _sharded_ntt_raw(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: str):
+    """Unjitted sharded-NTT fn — composable inside an outer jit (pipeline)."""
     n1, n2 = _split(n)
     S = mesh.shape[axis]
     assert n1 % S == 0 and n2 % S == 0, f"n={n} too small for {S}-way sharding"
@@ -108,7 +111,12 @@ def _sharded_ntt_fn(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: st
         e = sm(coeffs.reshape(16, n1, n2), wmat)
         return jnp.transpose(e, (0, 2, 1)).reshape(16, n)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ntt_fn(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: str):
+    return tuned_jit(_sharded_ntt_raw(mesh, spec, n, inverse, axis))
 
 
 def sharded_ntt(mesh: Mesh, spec: FieldSpec, x, inverse: bool = False, axis: str = "sp"):

@@ -19,10 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..jitutil import tuned_jit
+
 from ..field.device import get_device_field
 from ..plonkish.evaluator import Program, _run_program
-from .msm import _sharded_msm_fn
-from .ntt import _sharded_ntt_fn
+from .msm import _sharded_msm_raw
+from .ntt import _sharded_ntt_raw
 
 
 def build_sharded_prove_step(mesh: Mesh, cs, spec, n_points: int):
@@ -42,7 +44,7 @@ def build_sharded_prove_step(mesh: Mesh, cs, spec, n_points: int):
     row_sharding = NamedSharding(mesh, P(None, None, "sp"))
 
     msm_axes = tuple(a for a in ("dp", "sp") if a in mesh.shape)
-    msm_fn = _sharded_msm_fn(mesh, n_points, msm_axes)
+    msm_fn = _sharded_msm_raw(mesh, n_points, msm_axes)
 
     def step(columns, px, py):
         columns = {
@@ -54,10 +56,10 @@ def build_sharded_prove_step(mesh: Mesh, cs, spec, n_points: int):
 
         adv = columns["advice"][0]  # (16, n)
         n = adv.shape[-1]
-        intt = _sharded_ntt_fn(mesh, spec, n, True, "sp")
+        intt = _sharded_ntt_raw(mesh, spec, n, True, "sp")
         coeffs = intt(adv)
         scalars = df.from_mont_arr(coeffs)[:, :n_points]
         commitment = msm_fn(px, py, scalars)
         return violations, commitment
 
-    return jax.jit(step)
+    return tuned_jit(step)

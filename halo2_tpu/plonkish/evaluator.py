@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..jitutil import tuned_jit
+
 from ..field.device import DeviceField
 from .column import ColumnKind
 from .expression import (
@@ -209,7 +211,7 @@ def build_gate_checker(cs, df: DeviceField):
         outs = _run_program(prog, df, columns)
         return ~jnp.all(outs == 0, axis=1)  # (C, n) nonzero mask
 
-    jfn = jax.jit(fn)
+    jfn = tuned_jit(fn)
     _CHECKER_CACHE[key] = jfn
     return jfn, meta
 
@@ -226,6 +228,6 @@ def build_expr_batch_eval(cs, df: DeviceField, exprs, rot_scale: int = 1):
     def fn(columns):
         return _run_program(prog, df, columns)
 
-    jfn = jax.jit(fn)
+    jfn = tuned_jit(fn)
     _CHECKER_CACHE[key] = jfn
     return jfn

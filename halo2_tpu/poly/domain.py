@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..jitutil import tuned_jit
+
 from ..field.device import DeviceField, get_device_field
 from ..field.params import FieldSpec
 
@@ -71,7 +73,7 @@ def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
                 x = df.mul(x, n_inv)
             return x
 
-        return jax.jit(fn)
+        return tuned_jit(fn)
 
     stages = _stage_twiddles(spec, n, inverse)
 
@@ -89,7 +91,7 @@ def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
             x = df.mul(x, n_inv)
         return x
 
-    return jax.jit(fn)
+    return tuned_jit(fn)
 
 
 class EvaluationDomain:

@@ -12,9 +12,13 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's fusion pass is superlinearly slow on the field-arithmetic op
+# graphs (see halo2_tpu/jitutil.py); disabling it cuts suite compile time
+# by well over an order of magnitude with no effect on correctness.
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from halo2_tpu.ec import host as ec
-from halo2_tpu.ec.device import df as dfq, jac_to_affine, msm
+from halo2_tpu.ec.device import df as dfq, jac_to_affine
 from halo2_tpu.field.device import get_device_field
 from halo2_tpu.field.params import BN254_FR
 from halo2_tpu.parallel import make_mesh, sharded_msm, sharded_ntt
@@ -44,13 +44,10 @@ def test_sharded_msm_matches_single_chip():
 
     mesh = make_mesh(8)
     got = sharded_msm(mesh, px, py, sc)
-    want = msm(px, py, sc)
     gx, gy = jac_to_affine(got)
-    wx, wy = jac_to_affine(want)
-    assert np.array_equal(np.asarray(gx), np.asarray(wx))
-    assert np.array_equal(np.asarray(gy), np.asarray(wy))
 
-    # host oracle
+    # host oracle (single-chip msm() equality is pinned in test_ec — not
+    # recompiling a second full Pippenger module here keeps this file fast)
     acc = None
     for p, s in zip(pts, scalars):
         acc = ec.ec_add(acc, ec.ec_mul(p, s)) if acc else ec.ec_mul(p, s)
@@ -72,8 +69,14 @@ def test_sharded_ntt_matches_single_chip(inverse):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_sharded_prove_step_flagship():
-    """Full sharded prove step on the flagship circuit (tiny: depth 2, k=9)."""
+    """Full sharded prove step on the flagship circuit (tiny: depth 2, k=9).
+
+    Marked slow: ~3.5 min of XLA:CPU compile for coverage the driver's
+    ``dryrun_multichip`` exercises on every round anyway.  Run with
+    ``pytest -m slow`` (scripts/ci.sh stage 2).
+    """
     from halo2_tpu.circuits.merkle_sum_tree import (
         MerkleSumTreeCircuit,
         Node,
