@@ -15,6 +15,7 @@ Extra context (NTT butterflies/sec, device, sizes) goes to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,9 @@ import numpy as np
 
 K = 16  # 2^16 points
 BASELINE_POINTS_PER_SEC = 1.0e6
+# reference CPU radix-2 FFT (halo2_proofs::poly, rayon) order-of-magnitude on
+# the same class of CPU: ~150 ms at 2^20 -> (2^19 * 20) butterflies / 0.15 s
+BASELINE_BUTTERFLIES_PER_SEC = 7.0e7
 
 
 def log(*a):
@@ -88,25 +92,48 @@ def bench_ntt():
     return butterflies / dt, dt
 
 
+def bench_scaling():
+    """Scaling efficiency on the virtual 8-device CPU mesh (subprocess: the
+    TPU backend is already initialized here; the mesh needs JAX_PLATFORMS=cpu
+    before init).  Returns the parsed JSON dict or {} on any failure."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "scaling_bench.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=480,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        log(f"scaling bench produced no JSON; stderr tail: {out.stderr[-300:]}")
+    except Exception as e:
+        log(f"scaling bench skipped: {e}")
+    return {}
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     pps, msm_dt = bench_msm()
     log(f"MSM 2^{K}: {msm_dt * 1e3:.1f} ms -> {pps:,.0f} points/s")
+    result = {
+        "metric": f"msm_points_per_sec_2^{K}_bn254",
+        "value": round(pps),
+        "unit": "points/s",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
+    }
     try:
         bps, ntt_dt = bench_ntt()
         log(f"NTT 2^20: {ntt_dt * 1e3:.1f} ms -> {bps:,.0f} butterflies/s")
+        result["ntt_butterflies_per_sec_2^20"] = round(bps)
+        result["ntt_vs_baseline"] = round(bps / BASELINE_BUTTERFLIES_PER_SEC, 4)
     except Exception as e:  # NTT context only; never break the headline line
         log(f"NTT bench skipped: {e}")
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_points_per_sec_2^{K}_bn254",
-                "value": round(pps),
-                "unit": "points/s",
-                "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
-            }
-        )
-    )
+    if not os.environ.get("HALO2_TPU_BENCH_NO_SCALING"):
+        result.update(bench_scaling())
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

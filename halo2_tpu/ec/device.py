@@ -397,9 +397,13 @@ def _bucket_reduce(buckets, buckets_n):
     return {k: v[..., -1] for k, v in total.items()}
 
 
-def _msm_raw(n: int):
+def _msm_wsums_raw(n: int):
+    """Device Pippenger through window sums: (px, py, scalars) -> affine
+    window points (x, y) each (16, W).  The Horner window combine (256
+    sequential doublings at lane width 1 — 59 ms of idle-VPU time on v5e,
+    measured round 2) is finished on the HOST with big-int Jacobian ops
+    (~3 ms), where sequential-scalar work belongs."""
     c = _window_bits(n)
-    num_windows = 256 // c
     buckets_n = 1 << c
 
     def fn(px, py, scalars_canonical):
@@ -410,9 +414,31 @@ def _msm_raw(n: int):
         digits = jnp.where(pt_inf[None], 0, digits)
         bsums = _bucket_sums_all_windows({"x": px, "y": py}, digits, buckets_n)
         wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
+        return jac_to_affine(wsums)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_wsums_jit(n: int):
+    return tuned_jit(_msm_wsums_raw(n))
+
+
+def _msm_raw(n: int):
+    """Fully-device MSM (window sums + device Horner) — used where the result
+    must stay a device value (the shard_map'd multi-chip path)."""
+    c = _window_bits(n)
+    num_windows = 256 // c
+    buckets_n = 1 << c
+
+    def fn(px, py, scalars_canonical):
+        digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
+        pt_inf = df().is_zero(px) & df().is_zero(py)
+        digits = jnp.where(pt_inf[None], 0, digits)
+        bsums = _bucket_sums_all_windows({"x": px, "y": py}, digits, buckets_n)
+        wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
 
         def horner(i, acc):
-            # acc = acc * 2^c + window_sum, MSB window first
             acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)
             w = {
                 k: jax.lax.dynamic_index_in_dim(v, num_windows - 1 - i, 1, False)
@@ -425,9 +451,69 @@ def _msm_raw(n: int):
     return fn
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_jit(n: int):
-    return tuned_jit(_msm_raw(n))
+# ---------------------------------------------- host Jacobian (Python ints)
+def _hj_dbl(p, q):
+    """dbl-2009-l on host ints; p = (X, Y, Z) or None for infinity."""
+    if p is None:
+        return None
+    X, Y, Z = p
+    A = X * X % q
+    B = Y * Y % q
+    C = B * B % q
+    D = 2 * ((X + B) * (X + B) - A - C) % q
+    E = 3 * A % q
+    F = E * E % q
+    X3 = (F - 2 * D) % q
+    Y3 = (E * (D - X3) - 8 * C) % q
+    Z3 = 2 * Y * Z % q
+    return None if Z3 == 0 else (X3, Y3, Z3)
+
+
+def _hj_madd(p, x2, y2, q):
+    """Mixed add p + affine(x2, y2) on host ints."""
+    if p is None:
+        return (x2, y2, 1)
+    X, Y, Z = p
+    Z2 = Z * Z % q
+    U2 = x2 * Z2 % q
+    S2 = y2 * Z * Z2 % q
+    if U2 == X:
+        if S2 == Y:
+            return _hj_dbl(p, q)
+        return None
+    H = (U2 - X) % q
+    HH = H * H % q
+    I = 4 * HH % q
+    J = H * I % q
+    rr = 2 * (S2 - Y) % q
+    V = X * I % q
+    X3 = (rr * rr - J - 2 * V) % q
+    Y3 = (rr * (V - X3) - 2 * Y * J) % q
+    Z3 = ((Z + H) * (Z + H) - Z2 - HH) % q
+    return None if Z3 == 0 else (X3, Y3, Z3)
+
+
+def _host_horner(wx_ints, wy_ints, c: int):
+    """Window sums (host ints, (0,0)=infinity) -> final jac (X,Y,Z) or None."""
+    from ..field.params import BN254_FQ
+
+    q = BN254_FQ.p
+    acc = None
+    for x, y in zip(reversed(wx_ints), reversed(wy_ints)):
+        for _ in range(c):
+            acc = _hj_dbl(acc, q)
+        if x or y:
+            acc = _hj_madd(acc, int(x), int(y), q)
+    return acc
+
+
+def _encode_host_jac(pt):
+    d = df()
+    if pt is None:
+        return jac_infinity(())
+    X, Y, Z = pt
+    enc = d.encode([X, Y, Z])
+    return jac(enc[:, 0], enc[:, 1], enc[:, 2])
 
 
 def msm(px, py, scalars_canonical):
@@ -435,26 +521,63 @@ def msm(px, py, scalars_canonical):
 
     px, py: (16, N) affine coordinates in Montgomery form ((0,0) = infinity);
     scalars_canonical: (16, N) canonical (non-Montgomery) Fr limbs.
-    Returns a jac point (16,) pytree.
+    Returns a jac point (16,) pytree (device; host Horner tail inside).
     """
-    return _msm_jit(px.shape[-1])(px, py, scalars_canonical)
+    n = px.shape[-1]
+    wx, wy = _msm_wsums_jit(n)(px, py, scalars_canonical)
+    d = df()
+    wx_i, wy_i = d.decode(wx), d.decode(wy)
+    return _encode_host_jac(_host_horner(wx_i, wy_i, _window_bits(n)))
+
+
+def msm_points(px, py, scalars_canonical):
+    """MSM returning the result as host ints (x, y), (0, 0) = infinity."""
+    n = px.shape[-1]
+    wx, wy = _msm_wsums_jit(n)(px, py, scalars_canonical)
+    d = df()
+    pt = _host_horner(d.decode(wx), d.decode(wy), _window_bits(n))
+    if pt is None:
+        return 0, 0
+    from ..field.params import BN254_FQ
+
+    q = BN254_FQ.p
+    X, Y, Z = pt
+    zinv = pow(Z, q - 2, q)
+    zinv2 = zinv * zinv % q
+    return X * zinv2 % q, Y * zinv2 % q * zinv % q
 
 
 @functools.lru_cache(maxsize=None)
 def _msm_batch_jit(n: int):
-    """One set of base points, many scalar vectors: vmapped Pippenger +
-    affine normalization in a single executable (the per-phase commit path)."""
-    single = _msm_raw(n)
+    """One set of base points, many scalar vectors: vmapped window-sum
+    Pippenger in a single executable (the per-phase commit path)."""
+    single = _msm_wsums_raw(n)
 
     def fn(px, py, scalars_batch):  # scalars_batch: (B, 16, n)
-        out = jax.vmap(lambda s: single(px, py, s))(scalars_batch)
-        # out leaves: (B, 16); normalize to affine with limb axis leading
-        pts = {k: jnp.moveaxis(v, 0, -1) for k, v in out.items()}  # (16, B)
-        return jac_to_affine(pts)
+        return jax.vmap(lambda s: single(px, py, s))(scalars_batch)
 
     return tuned_jit(fn)
 
 
-def msm_batch(px, py, scalars_batch):
-    """Batched MSM over shared points -> (x, y) affine (16, B) device arrays."""
-    return _msm_batch_jit(px.shape[-1])(px, py, scalars_batch)
+def msm_batch_points(px, py, scalars_batch):
+    """Batched MSM over shared points -> list of host-int (x, y) pairs."""
+    n = px.shape[-1]
+    wx, wy = _msm_batch_jit(n)(px, py, scalars_batch)  # (B, 16, W)
+    d = df()
+    c = _window_bits(n)
+    wx_i = d.decode(jnp.moveaxis(wx, 0, -1))  # (W, B) host ints
+    wy_i = d.decode(jnp.moveaxis(wy, 0, -1))
+    from ..field.params import BN254_FQ
+
+    q = BN254_FQ.p
+    out = []
+    for b in range(wx.shape[0]):
+        pt = _host_horner(wx_i[:, b], wy_i[:, b], c)
+        if pt is None:
+            out.append((0, 0))
+            continue
+        X, Y, Z = pt
+        zinv = pow(Z, q - 2, q)
+        zinv2 = zinv * zinv % q
+        out.append((X * zinv2 % q, Y * zinv2 % q * zinv % q))
+    return out

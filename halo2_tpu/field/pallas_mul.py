@@ -62,19 +62,30 @@ def _norm(t):
 
 
 def _conv(x, y, t_mat):
-    """(16,T)x(16,T) limbwise product -> column sums via one exact f32 dot."""
+    """(16,T)x(16,T) limbwise product -> column sums via one exact bf16 dot.
+
+    The 32-bit partial products are split into BYTES and the one-hot
+    assignment matrix carries weights {1, 256}: every bf16 operand (bytes
+    0..255 and the power-of-two weight 256) is exact, every bf16 x bf16
+    product (<= 255*256, a 16-bit-mantissa value) is exact in the MXU's f32
+    accumulator, and the column sums stay < 2^21 < 2^24 — so a single-pass
+    bf16 matmul is bit-exact while running at the MXU's native bf16 rate
+    (the previous f32 HIGHEST-precision formulation was ~8x slower: XLA
+    lowers it to a multi-pass bf16 emulation).
+    """
     prod = x[:, None, :] * y[None, :, :]  # (16, 16, T) u32, exact
-    lo = (prod & _MASK).reshape(L * L, -1)
-    hi = (prod >> _SHIFT).reshape(L * L, -1)
-    # mosaic has no u32<->f32 cast; hop through i32 (all values < 2^24)
+    b0 = (prod & np.uint32(0xFF)).reshape(L * L, -1)
+    b1 = ((prod >> np.uint32(8)) & np.uint32(0xFF)).reshape(L * L, -1)
+    b2 = ((prod >> np.uint32(16)) & np.uint32(0xFF)).reshape(L * L, -1)
+    b3 = (prod >> np.uint32(24)).reshape(L * L, -1)
+    # mosaic has no u32->bf16 cast; hop through i32 (all values < 256)
     stacked = (
-        jnp.concatenate([lo, hi]).astype(jnp.int32).astype(jnp.float32)
-    )  # (512, T)
+        jnp.concatenate([b0, b1, b2, b3]).astype(jnp.int32).astype(jnp.bfloat16)
+    )  # (1024, T)
     t = jax.lax.dot_general(
-        t_mat,
+        t_mat.astype(jnp.bfloat16),
         stacked,
         (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,  # exact: all values < 2^24
         preferred_element_type=jnp.float32,
     )
     return t.astype(jnp.int32).astype(U32)
@@ -124,12 +135,19 @@ def _mod_sub_vmem(a, b, p_limbs):
 
 
 def mont_consts(spec: FieldSpec):
-    """(t_mat one-hot f32, nprime (16,1) u32, p (16,1) u32) numpy constants."""
-    t_full = np.zeros((2 * L, 2 * L * L), np.float32)
+    """(t_mat byte-weighted one-hot f32, nprime, p (16,1) u32) numpy constants.
+
+    t_mat row layout matches _conv's byte stack: regions [b0|b1|b2|b3] of the
+    32-bit partial product (i,j); b0/b1 are the low 16 bits (column i+j,
+    weights 1/256), b2/b3 the high 16 bits (column i+j+1, weights 1/256).
+    """
+    t_full = np.zeros((2 * L, 4 * L * L), np.float32)
     for i in range(L):
         for j in range(L):
-            t_full[i + j, i * L + j] = 1.0
-            t_full[i + j + 1, L * L + i * L + j] = 1.0
+            t_full[i + j, i * L + j] = 1.0                    # b0
+            t_full[i + j, L * L + i * L + j] = 256.0          # b1
+            t_full[i + j + 1, 2 * L * L + i * L + j] = 1.0    # b2
+            t_full[i + j + 1, 3 * L * L + i * L + j] = 256.0  # b3
     nprime = (-pow(spec.p, -1, 1 << 256)) % (1 << 256)
     nprime_np = np.array(
         [[(nprime >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32
@@ -162,7 +180,7 @@ def _mont_mul_call(spec: FieldSpec, m: int):
         in_specs=[
             tile_spec,
             tile_spec,
-            const_spec((2 * L, 2 * L * L)),
+            const_spec((2 * L, 4 * L * L)),
             const_spec((L, 1)),
             const_spec((L, 1)),
         ],

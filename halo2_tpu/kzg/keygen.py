@@ -23,7 +23,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..ec.device import df as dfq, jac_to_affine, msm
+from ..ec.device import df as dfq, jac_to_affine
 from ..ec import host as ec
 from ..field.device import get_device_field
 from ..field.params import BN254_FR
@@ -284,6 +284,57 @@ class ProvingKey:
     fixed_coeffs: object         # device (F, 16, n)
     sigma_coeffs: object
 
+    # ------------------------------------------------- persistence (SURVEY §5)
+    # The reference rebuilds pk/vk per invocation (src/circuits/utils.rs:31-36);
+    # SURVEY.md §5 checkpoint/resume mandates serializing SRS *and* pk/vk —
+    # keygen (NTTs + fixed/sigma commitments) is the slowest prover phase.
+    # Circuit structure (ConstraintSystem expression DAG) is cheap to rebuild
+    # and host-code-versioned, so only the computed artifacts are persisted;
+    # ``load`` re-synthesizes the structure and validates k.
+    def save(self, path: str):
+        import pickle
+
+        import numpy as np
+
+        data = {
+            "k": self.vk.k,
+            "digest": self.vk.digest,
+            "fixed_commitments": [ec.g1_to_ints(p) for p in self.vk.fixed_commitments],
+            "sigma_commitments": [ec.g1_to_ints(p) for p in self.vk.sigma_commitments],
+            "fixed_values": self.fixed_values,
+            "sigma_values": self.sigma_values,
+            "fixed_coeffs": np.asarray(self.fixed_coeffs),
+            "sigma_coeffs": np.asarray(self.sigma_coeffs),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+
+    @classmethod
+    def load(cls, path: str, circuit, k: int, F) -> "ProvingKey":
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if data["k"] != k:
+            raise ValueError(f"pk cache k={data['k']} != requested k={k}")
+        circuit_no_wit = circuit.without_witnesses()
+        cs, _cfg, _asn = run_synthesis(circuit_no_wit, k, [], witness=False, field=F)
+        structure = PlonkStructure(cs, k)
+        vk = VerifyingKey(
+            k,
+            structure,
+            [ec.g1_from_ints(x, y) for x, y in data["fixed_commitments"]],
+            [ec.g1_from_ints(x, y) for x, y in data["sigma_commitments"]],
+            data["digest"],
+        )
+        return cls(
+            vk,
+            data["fixed_values"],
+            data["sigma_values"],
+            jnp.asarray(data["fixed_coeffs"]),
+            jnp.asarray(data["sigma_coeffs"]),
+        )
+
 
 def commit_lagrange(params, domain: EvaluationDomain, values_host: list) -> object:
     """Commit a column given in Lagrange form: iNTT then MSM."""
@@ -321,7 +372,7 @@ def commit_coeffs_batch(params, coeffs_list) -> list:
             scalars = [int(v) for v in dfr.decode(coeffs)]
             out.append(ec.msm_host(pts, scalars))
         return out
-    from ..ec.device import msm_batch
+    from ..ec.device import msm_batch_points
 
     out = []
     for start in range(0, len(coeffs_list), _COMMIT_BATCH):
@@ -331,13 +382,9 @@ def commit_coeffs_batch(params, coeffs_list) -> list:
         batch = jnp.stack(chunk)                          # (B, 16, m)
         canon = dfr.from_mont_arr(jnp.moveaxis(batch, 0, 1))  # (16, B, m)
         canon = jnp.moveaxis(canon, 1, 0)
-        x, y = msm_batch(params.g1_x[:, :m], params.g1_y[:, :m], canon)
-        d = dfq()
-        xs = d.decode(x)
-        ys = d.decode(y)
+        pts = msm_batch_points(params.g1_x[:, :m], params.g1_y[:, :m], canon)
         out += [
-            ec.g1_from_ints(int(xs[i]), int(ys[i]))
-            for i in range(_COMMIT_BATCH - pad)
+            ec.g1_from_ints(x, y) for x, y in pts[: _COMMIT_BATCH - pad]
         ]
     return out
 
@@ -386,3 +433,15 @@ def keygen(params, circuit, k: int, F) -> ProvingKey:
 
     vk = VerifyingKey(k, structure, fixed_commitments, sigma_commitments, digest)
     return ProvingKey(vk, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs)
+
+
+def keygen_cached(params, circuit, k: int, F, cache_path: str) -> ProvingKey:
+    """keygen with a pk/vk disk cache (SURVEY §5 checkpoint/resume)."""
+    import os
+
+    if os.path.exists(cache_path):
+        return ProvingKey.load(cache_path, circuit, k, F)
+    pk = keygen(params, circuit, k, F)
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    pk.save(cache_path)
+    return pk

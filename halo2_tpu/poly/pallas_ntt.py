@@ -88,7 +88,7 @@ def _small_stages_call(spec: FieldSpec, n: int, inverse: bool, ms: tuple):
         in_specs=[
             tile_spec,
             const((len(ms), L, TILE)),
-            const((2 * L, 2 * L * L)),
+            const((2 * L, 4 * L * L)),
             const((L, 1)),
             const((L, 1)),
         ],
@@ -128,7 +128,7 @@ def _large_stage_call(spec: FieldSpec, n: int, inverse: bool, m: int):
         in_specs=[
             blk,
             tw_spec,
-            const((2 * L, 2 * L * L)),
+            const((2 * L, 4 * L * L)),
             const((L, 1)),
             const((L, 1)),
         ],
