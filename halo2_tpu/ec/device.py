@@ -60,36 +60,8 @@ def jac_neg(p):
     return jac(p["x"], df().neg(p["y"]), p["z"])
 
 
-def _fused_wanted(p, q) -> bool:
-    """Opt-in (HALO2_TPU_FUSED_JAC=1): the monolithic Pallas jac_add kernel.
-
-    Measured on v5e: 1.55 ms/add vs 1.13 ms for pallas-mul + XLA-fused
-    elementwise at 8192 lanes — Mosaic's codegen for the 38-multiply kernel
-    loses to XLA's fusion of the small kernels, so it is OFF by default and
-    kept as the baseline for future kernel work."""
-    import os
-
-    from ..field.device import _pallas_wanted
-
-    if not os.environ.get("HALO2_TPU_FUSED_JAC"):
-        return False
-    if not _pallas_wanted():
-        return False
-    bp, bq = p["x"].shape[1:], q["x"].shape[1:]
-    if bp != bq:
-        return False
-    m = 1
-    for s in bp:
-        m *= s
-    return m >= 256
-
-
 def jac_double(p):
     """dbl-2009-l for a=0: 3M + 4S + ..."""
-    if _fused_wanted(p, p):
-        from .pallas_jac import jac_add_fused
-
-        return jac_add_fused(p, p)  # P==Q takes the doubling branch
     d = df()
     x, y, z = p["x"], p["y"], p["z"]
     a = d.square(x)
@@ -116,10 +88,6 @@ def jac_add(p, q):
     Under ``vmap`` the cond lowers to a select (both branches run), which is
     exactly the old behavior — never worse.
     """
-    if _fused_wanted(p, q):
-        from .pallas_jac import jac_add_fused
-
-        return jac_add_fused(p, q)
     d = df()
     x1, y1, z1 = p["x"], p["y"], p["z"]
     x2, y2, z2 = q["x"], q["y"], q["z"]
