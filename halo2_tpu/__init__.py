@@ -9,3 +9,21 @@ built on TPU NTT and Pippenger MSM kernels.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the prover's big programs (Pippenger MSM,
+# quotient instruction-VM, NTT ladders) cost 30-60 s to compile on first use;
+# caching them to disk makes warm runs (bench.py, repeated proving) pay only
+# dispatch. Opt out with HALO2_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("HALO2_TPU_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "HALO2_TPU_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/halo2_tpu_xla"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

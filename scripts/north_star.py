@@ -1,0 +1,118 @@
+"""North-star workload (BASELINE.md): merkle-sum-tree, depth 15, k>=11,
+end-to-end KZG prove+verify on the real TPU.
+
+Prints the reference's vk/pk/prove/verify timing lines
+(reference src/circuits/utils.rs:66-69) plus per-phase prover timings and a
+final one-line JSON summary consumed by bench.py.
+
+Usage: python scripts/north_star.py [--k 11] [--depth 15] [--no-pk-cache]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=11)
+    ap.add_argument("--depth", type=int, default=15)
+    ap.add_argument("--no-pk-cache", action="store_true")
+    args = ap.parse_args()
+    os.environ.setdefault("HALO2_TPU_TIMING", "1")
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", flush=True)
+
+    from halo2_tpu.circuits.merkle_sum_tree import (
+        MerkleSumTreeCircuit,
+        Node,
+        compute_merkle_sum_root,
+    )
+    from halo2_tpu.field import Fr
+    from halo2_tpu.kzg import ParamsKZG, create_proof, keygen, verify_proof
+    from halo2_tpu.kzg.keygen import keygen_cached
+    from halo2_tpu.kzg.prover import PHASE_TIMINGS
+
+    k, depth = args.k, args.depth
+    rng = random.Random(0xA11CE)
+    leaf = Node(Fr.from_u64(10), Fr.from_u64(100))
+    elements = [
+        Node(Fr.from_u64(rng.randrange(1 << 32)), Fr.from_u64(rng.randrange(1 << 20)))
+        for _ in range(depth)
+    ]
+    indices = [Fr.from_u64(rng.randrange(2)) for _ in range(depth)]
+    t0 = time.perf_counter()
+    root = compute_merkle_sum_root(Fr, leaf, elements, indices)
+    print(f"host oracle root ({depth} levels): {time.perf_counter() - t0:.2f}s", flush=True)
+    assets_sum = root.balance + Fr.from_u64(1)  # liabilities < assets
+    public_input = [leaf.hash, leaf.balance, root.hash, assets_sum]
+    circuit = MerkleSumTreeCircuit(
+        Fr,
+        leaf.hash,
+        leaf.balance,
+        [n.hash for n in elements],
+        [n.balance for n in elements],
+        indices,
+        assets_sum,
+    )
+
+    t0 = time.perf_counter()
+    params = ParamsKZG.setup_cached(k)
+    print(f"SRS k={k} ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    if args.no_pk_cache:
+        pk = keygen(params, circuit, k, Fr)
+    else:
+        cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            ".srs",
+            f"pk_mst_d{depth}_k{k}.pkl",
+        )
+        pk = keygen_cached(params, circuit, k, Fr, cache)
+    keygen_time = time.perf_counter() - t0
+    vk_time = pk_time = keygen_time / 2
+
+    PHASE_TIMINGS.clear()
+    t0 = time.perf_counter()
+    proof = create_proof(params, pk, circuit, [list(public_input)], rng=random.Random(7))
+    proof_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ok = verify_proof(params.verifier_params(), pk.vk, proof, [list(public_input)])
+    verify_time = time.perf_counter() - t0
+    assert ok, "north-star proof failed verification"
+
+    # tamper check: verification must reject a wrong root
+    bad_public = list(public_input)
+    bad_public[2] = bad_public[2] + Fr.from_u64(1)
+    assert not verify_proof(params.verifier_params(), pk.vk, proof, [bad_public])
+
+    print(f"Time to generate vk {vk_time:.3f}s")
+    print(f"Time to generate pk {pk_time:.3f}s")
+    print(f"Prover Time {proof_time:.3f}s")
+    print(f"Verifier Time {verify_time:.3f}s")
+    summary = {
+        "workload": f"merkle_sum_tree depth={depth} k={k} KZG",
+        "keygen_s": round(keygen_time, 3),
+        "prove_s": round(proof_time, 3),
+        "verify_s": round(verify_time, 3),
+        "proof_bytes": len(proof),
+        "phases": {p: round(v, 3) for p, v in PHASE_TIMINGS.items()},
+    }
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()
