@@ -211,10 +211,14 @@ class Assignment:
         return Layouter(self)
 
     # ------------------------------------------------------------- placement
-    def finalize(self) -> "Finalized":
-        if self._finalized is not None:
-            return self._finalized
-        cs, n = self.cs, self.n
+    def place(self):
+        """First-fit region placement (k-independent).
+
+        Returns (region_starts, constant_cells [(abs_row, value)],
+        constant_copies [(Cell, Cell)]) — shared by finalize and the
+        CircuitLayout renderer (which must draw circuits that overflow the
+        requested k, as halo2's does)."""
+        cs = self.cs
         col_heights: dict = {}
         region_starts: list[int] = []
         constants_col = cs.constants_columns[0] if cs.constants_columns else None
@@ -237,6 +241,14 @@ class Assignment:
                     )
                     row += 1
                 col_heights[constants_col] = row
+        return region_starts, constant_cells, constant_copies
+
+    def finalize(self) -> "Finalized":
+        if self._finalized is not None:
+            return self._finalized
+        cs, n = self.cs, self.n
+        constants_col = cs.constants_columns[0] if cs.constants_columns else None
+        region_starts, constant_cells, constant_copies = self.place()
 
         usable = cs.usable_rows(n)
 
