@@ -95,23 +95,68 @@ def bench_ntt():
 def bench_scaling():
     """Scaling efficiency on the virtual 8-device CPU mesh (subprocess: the
     TPU backend is already initialized here; the mesh needs JAX_PLATFORMS=cpu
-    before init).  Returns the parsed JSON dict or {} on any failure."""
+    before init).  Returns the parsed JSON dict; on ANY failure returns a
+    loud {"scaling": "FAILED", ...} marker instead of silently omitting the
+    mandated fields."""
     import subprocess
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "scaling_bench.py")
+    def last_json(text):
+        for line in reversed((text or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return None
+
     try:
         out = subprocess.run(
             [sys.executable, script],
             capture_output=True, text=True, timeout=480,
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+        found = last_json(out.stdout)
+        if found is not None:
+            return found
         log(f"scaling bench produced no JSON; stderr tail: {out.stderr[-300:]}")
+        return {"scaling": "FAILED", "scaling_error": "no JSON emitted"}
+    except subprocess.TimeoutExpired as e:
+        # the bench prints a partial JSON line after the MSM section — salvage
+        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout
+        found = last_json(stdout)
+        if found is not None:
+            found["scaling"] = "PARTIAL (timeout before NTT section)"
+            return found
+        log("scaling bench timed out before any JSON")
+        return {"scaling": "FAILED", "scaling_error": "timeout, no JSON emitted"}
     except Exception as e:
-        log(f"scaling bench skipped: {e}")
-    return {}
+        log(f"scaling bench failed: {e}")
+        return {"scaling": "FAILED", "scaling_error": str(e)[:200]}
+
+
+def bench_msm_2_20():
+    """Secondary MSM size (regressions at scale go unseen otherwise)."""
+    import random
+
+    from halo2_tpu.ec.device import msm
+    from halo2_tpu.field.device import get_device_field
+    from halo2_tpu.field.params import BN254_FR
+    from halo2_tpu.kzg.params import ParamsKZG
+
+    n = 1 << 20
+    params = ParamsKZG.setup_cached(16)  # 2^16 SRS tiled to 2^20 points
+    reps = n // (1 << 16)
+    px = jnp.tile(params.g1_x, (1, reps))
+    py = jnp.tile(params.g1_y, (1, reps))
+    dfr = get_device_field(BN254_FR)
+    rng = random.Random(9)
+    sc = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(1 << 16)], to_mont=False)
+    sc = jnp.tile(sc, (1, reps))
+    out = msm(px, py, sc)
+    np.asarray(out["x"])  # compile+warm (sync via readback, see bench_msm)
+    t0 = time.perf_counter()
+    out = msm(px, py, sc)
+    np.asarray(out["x"])
+    dt = time.perf_counter() - t0
+    return n / dt, dt
 
 
 def main():
@@ -124,6 +169,12 @@ def main():
         "unit": "points/s",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
     }
+    try:
+        pps20, dt20 = bench_msm_2_20()
+        log(f"MSM 2^20: {dt20 * 1e3:.1f} ms -> {pps20:,.0f} points/s")
+        result["msm_points_per_sec_2^20"] = round(pps20)
+    except Exception as e:
+        log(f"MSM 2^20 bench skipped: {e}")
     try:
         bps, ntt_dt = bench_ntt()
         log(f"NTT 2^20: {ntt_dt * 1e3:.1f} ms -> {bps:,.0f} butterflies/s")

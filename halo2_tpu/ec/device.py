@@ -3,9 +3,9 @@
 The MSM replaces halo2's CPU Pippenger inside `KZGCommitmentScheme` commits
 (reference src/circuits/utils.rs:40-48, SURVEY.md §3.2 "HOT: MSM points/sec").
 TPU-native shape: window digits from canonical limbs, per-window sort by
-digit, segmented associative-scan bucket accumulation (data-dependent scatter
-is resolved by sort, keeping device code static-shaped), log-depth suffix-sum
-bucket reduction, and a Horner window combine of c doublings per window.
+digit (data-dependent scatter is resolved by sort, keeping device code
+static-shaped), quota-scheduled suffix-sum accumulation with an Abel-summation
+window combine (see the MSM section below), and a host Horner tail.
 
 Points are pytrees {x, y, z} of (16, *B) Montgomery limb arrays; z == 0 marks
 infinity.
@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ..jitutil import tuned_jit
 
 from ..field.device import DeviceField, get_device_field
-from ..field.params import BN254_FQ, LIMB_BITS
+from ..field.params import BN254_FQ, LIMB_BITS, NUM_LIMBS as L
+
+U32 = jnp.uint32
 
 _DF = None
 
@@ -78,7 +80,23 @@ def jac_double(p):
     return jac(x3, y3, z3)
 
 
+def _use_pallas_jac() -> bool:
+    from ..field.pallas_mul import pallas_available
+
+    return pallas_available()
+
+
 def jac_add(p, q):
+    """Complete Jacobian addition (dispatches to the fused Pallas kernel on
+    TPU — ec/pallas_jac.py — else the jnp formulation below)."""
+    if _use_pallas_jac():
+        from .pallas_jac import jac_add_pallas
+
+        return jac_add_pallas(p, q)
+    return _jac_add_jnp(p, q)
+
+
+def _jac_add_jnp(p, q):
     """Complete Jacobian addition via add-2007-bl + exception selects.
 
     The P == Q exception needs a doubling, but two independently-computed
@@ -135,6 +153,15 @@ def jac_add(p, q):
 
 
 def jac_madd(p, qx, qy, valid):
+    """Mixed add (dispatches to the fused Pallas kernel on TPU)."""
+    if _use_pallas_jac():
+        from .pallas_jac import jac_madd_pallas
+
+        return jac_madd_pallas(p, qx, qy, valid)
+    return _jac_madd_jnp(p, qx, qy, valid)
+
+
+def _jac_madd_jnp(p, qx, qy, valid):
     """Mixed Jacobian + affine add: p + (qx, qy) where ``valid`` else p.
 
     madd-2007-bl (7M + 4S — vs 11M + 5S + an unconditional double for the
@@ -203,186 +230,228 @@ def scalar_mul_batched(points, scalar_bits):
 
 
 # ---------------------------------------------------------------------- MSM
-def _window_bits(n: int) -> int:
-    """Pippenger window size: bucket work (256/c * 2^c) vs point work (n)."""
-    return 4 if n < 256 else 8
+#
+# Quota-scheduled Pippenger via Abel summation (round-3 redesign).
+#
+# Per window w the required sum is  sum_e d_e * P_e  (d_e = the c-bit digit).
+# Sorting the window's entries by digit makes the digit sequence monotone, so
+# by Abel summation   sum_e d_e P_e = sum_{k=1}^{2^c - 1} S(pos_k)   where
+# S(p) = sum of sorted points at positions >= p (a positional suffix sum) and
+# pos_k = searchsorted(sorted_digits, k).  Suffix sums come from a two-level
+# decomposition: each lane owns an equal contiguous chunk of q sorted entries
+# and emits its running intra-chunk suffixes (q rounds, EVERY lane busy EVERY
+# round — unlike per-bucket run-splitting, the schedule is load-balanced for
+# any digit distribution), and a Blelloch-style tree scan (2C adds at halving
+# widths) yields the cross-chunk exclusive suffixes.  No bucket arrays, no
+# O(B log B) bucket reduction, and window size c is decoupled from the digit
+# distribution — c=12 cuts the madd count ~1.45x vs c=8.
+#
+# Replaces halo2curves' CPU Pippenger inside KZG commits (reference
+# src/circuits/utils.rs:40-48; SURVEY.md §2c "MSM / curve ops").
+
+
+def _msm_c(n: int) -> int:
+    """Window bits: larger windows cut adds (W*n total) but cost B=2^c adds
+    in the Abel combine — worth it once n*W >> 2^c."""
+    if n < 256:
+        return 4
+    if n < (1 << 14):
+        return 8
+    return 12
 
 
 def _digits_from_limbs(scalars_canonical, c: int):
-    """(16, N) canonical 16-bit limbs -> (256/c, N) uint32 c-bit digits."""
-    per_limb = 16 // c
+    """(16, N) canonical 16-bit limbs -> (W, N) uint32 c-bit digits (c<=16)."""
+    w_n = -(-254 // c)
     mask = np.uint32((1 << c) - 1)
-    parts = [
-        (scalars_canonical >> np.uint32(c * i)) & mask for i in range(per_limb)
-    ]
-    return jnp.stack(parts, axis=1).reshape(16 * per_limb, -1)
+    outs = []
+    for k in range(w_n):
+        l0, off = divmod(k * c, 16)
+        d = scalars_canonical[l0] >> np.uint32(off)
+        if off + c > 16 and l0 + 1 < 16:
+            d = d | (scalars_canonical[l0 + 1] << np.uint32(16 - off))
+        outs.append(d & mask)
+    return jnp.stack(outs)
 
 
-def _bucket_sums_all_windows(
-    points, digits, buckets_n, head_split: int = 8, top_split: int = 32
-):
-    """Per-(window, bucket) point sums via balanced round-robin accumulation.
+def _fold_groups(terms, Q: int):
+    """Sum groups of Q adjacent entries on the last axis: (..., M) -> (..., M//Q).
 
-    points: jac pytree (16, N); digits: (W, N) int32 in [0, buckets_n).
-    Returns bucket sums as jac pytree (16, W, buckets_n).
+    A ``fori_loop`` with ONE jac_add body — folding with unrolled halving
+    widths made Mosaic compile a distinct kernel per width (the bulk of a
+    181 s MSM compile, measured round 3)."""
+    M = terms["x"].shape[-1]
+    G = M // Q
+    v = {k: a.reshape(a.shape[:-1] + (G, Q)) for k, a in terms.items()}
+    init = {k: a[..., 0] for k, a in v.items()}
 
-    The classic bucket-serial schedule, vectorized over all buckets at once:
-    sort each window's digits, then in round r every lane absorbs its r-th
-    point (one full-width ``jac_madd`` per round, all windows in parallel).
-    The XLA graph holds exactly ONE jac_madd — compile time stays flat in N.
-    Load-balance refinements (NOTES_ROUND2.md profile):
+    def body(r, acc):
+        cur = {
+            k: jax.lax.dynamic_index_in_dim(a, r, a.ndim - 1, False)
+            for k, a in v.items()
+        }
+        return jac_add(acc, cur)
 
-      * bucket 0 never contributes (the reducer masks it), so its runs are
-        skipped — also makes zero/small scalars nearly free;
-      * EVERY bucket's run is sliced across ``head_split`` lanes (slice s
-        covers the half-open range [cnt*s//S, cnt*(s+1)//S) of the run) and
-        the slices are log-folded afterwards — the while_loop trip count
-        drops from max-run to ~max-run/S while total field work is constant
-        (the same adds at S-fold lane width, far better VPU occupancy);
-      * the TOP window is structurally skewed (scalars < p < 2^254, so its
-        digits use a fraction of the bucket range and runs are ~4x longer);
-        it gets ``top_split`` slices to match.
+    return jax.lax.fori_loop(1, Q, body, init)
 
-    Correctness never depends on the digit distribution: the ``while_loop``
-    trip count is the true max slice length.
+
+def _tree_sum(terms):
+    """Sum all entries of the last axis via fixed-shape radix-16 folds."""
+    while terms["x"].shape[-1] > 1:
+        M = terms["x"].shape[-1]
+        terms = _fold_groups(terms, min(16, M))
+    return {k: v[..., 0] for k, v in terms.items()}
+
+
+def _excl_suffix_scan(pts, Q: int = 64):
+    """Exclusive suffix sums over the last axis (power-of-2 length C):
+    out[..., i] = sum_{j > i} pts[..., j].  Hierarchical: a ``fori`` running
+    suffix within groups of Q (fixed shape) + a recursive scan of the group
+    totals, combined with one full-width add."""
+    C = pts["x"].shape[-1]
+    batch = pts["x"].shape[1:]
+    if C == 1:
+        return jac_infinity(batch)
+    if C <= Q:
+        sfx0 = {k: jnp.zeros((L,) + batch[:-1] + (C,), U32) for k in pts}
+
+        def body(r, carry):
+            acc, sfx = carry
+            pos = C - 1 - r
+            sfx = {
+                k: jax.lax.dynamic_update_slice_in_dim(
+                    sfx[k], acc[k][..., None], pos, axis=sfx[k].ndim - 1
+                )
+                for k in sfx
+            }
+            cur = {
+                k: jax.lax.dynamic_index_in_dim(a, pos, a.ndim - 1, False)
+                for k, a in pts.items()
+            }
+            return jac_add(acc, cur), sfx
+
+        _, sfx = jax.lax.fori_loop(
+            0, C, body, (jac_infinity(batch[:-1]), sfx0)
+        )
+        return sfx
+    G = C // Q
+    v = {k: a.reshape(a.shape[:-1] + (G, Q)) for k, a in pts.items()}
+    sfx0 = {k: jnp.zeros_like(a) for k, a in v.items()}
+
+    def body(r, carry):
+        acc, sfx = carry
+        pos = Q - 1 - r
+        sfx = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                sfx[k], acc[k][..., None], pos, axis=sfx[k].ndim - 1
+            )
+            for k in sfx
+        }
+        cur = {
+            k: jax.lax.dynamic_index_in_dim(a, pos, a.ndim - 1, False)
+            for k, a in v.items()
+        }
+        return jac_add(acc, cur), sfx
+
+    gtot, sfx = jax.lax.fori_loop(
+        0, Q, body, (jac_infinity(batch[:-1] + (G,)), sfx0)
+    )
+    gsfx = _excl_suffix_scan(gtot, Q)  # (16, ..., G)
+    gb = {k: jnp.broadcast_to(a[..., None], a.shape + (Q,)) for k, a in gsfx.items()}
+    out = jac_add(sfx, gb)
+    return {k: a.reshape(a.shape[:-2] + (C,)) for k, a in out.items()}
+
+
+def _window_sums(px, py, digits, c: int):
+    """Window sums sum_e d_e P_e for all windows at once.
+
+    px, py: (16, n) affine Montgomery ((0,0) rows must have digit 0 — their
+    garbage contributions only ever pollute suffix positions below pos_1,
+    which the Abel combine never reads).  digits: (W, n) uint32.
+    Returns a jac pytree (16, W).
     """
     w_n, n = digits.shape
-    order = jnp.argsort(digits, axis=1)  # (W, N)
+    B = 1 << c
+    C = max(1, n // 16)  # chunks per window; q = n // C rounds, zero idle
+    q = n // C
+
+    order = jnp.argsort(digits, axis=1).astype(jnp.int32)  # (W, n)
     sd = jnp.take_along_axis(digits, order, axis=1)
+    order_cq = order.reshape(w_n, C, q)
+    # one stacked (n, 32) tensor: ONE row-gather per round instead of two.
+    stacked_t = jnp.concatenate([px, py]).T
 
-    bvals = jnp.arange(buckets_n, dtype=sd.dtype)
-    starts = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="left"))(sd)
-    ends = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="right"))(sd)
-    counts = ends - starts  # (W, B)
-    counts = counts.at[:, 0].set(0)  # bucket 0 is discarded by the reducer
+    # ---- intra-chunk suffix accumulation: q rounds, every lane busy
+    valid = jnp.ones((w_n, C), bool)
+    sfx0 = {
+        k: jnp.zeros((L, w_n, C, q), U32) for k in ("x", "y", "z")
+    }
 
-    def slices(st, cnt, S):
-        """st, cnt: (..., B) -> slice starts/counts (..., S, B)."""
-        s_idx = jnp.arange(S)[:, None]
-        lo = st[..., None, :] + (cnt[..., None, :] * s_idx) // S
-        hi = st[..., None, :] + (cnt[..., None, :] * (s_idx + 1)) // S
-        return lo, hi - lo
+    def body(r, carry):
+        acc, sfx = carry
+        pos = q - 1 - r
+        idx = jax.lax.dynamic_slice_in_dim(order_cq, pos, 1, axis=2)[..., 0]
+        g = jnp.moveaxis(stacked_t[idx], -1, 0)  # (32, W, C)
+        acc = jac_madd(acc, g[:16], g[16:], valid)
+        sfx = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                sfx[k], acc[k][..., None], pos, axis=3
+            )
+            for k in sfx
+        }
+        return acc, sfx
 
-    hs, ts = head_split, top_split
-    head_lo, head_cnt = slices(starts[: w_n - 1], counts[: w_n - 1], hs)
-    top_lo, top_cnt = slices(starts[w_n - 1], counts[w_n - 1], ts)
-    flat_starts = jnp.concatenate([head_lo.reshape(-1), top_lo.reshape(-1)])
-    flat_counts = jnp.concatenate([head_cnt.reshape(-1), top_cnt.reshape(-1)])
-    n_lanes = flat_starts.shape[0]
-    lane_w = jnp.concatenate(
-        [
-            jnp.arange((w_n - 1) * hs * buckets_n) // (hs * buckets_n),
-            jnp.full(ts * buckets_n, w_n - 1),
-        ]
+    chunk_tot, sfx = jax.lax.fori_loop(
+        0, q, body, (jac_infinity((w_n, C)), sfx0)
     )
-    max_run = jnp.max(flat_counts)
+    sfx = {k: v.reshape(L, w_n, n) for k, v in sfx.items()}
 
-    inf_lane = jac_infinity((n_lanes,))
-    # one stacked (N, 32) tensor: ONE row-gather per round instead of two.
-    # NOTE: assumes no input point is infinity ((0,0) rows would corrupt the
-    # mixed add) — msm() guards this by zeroing those scalars' digits.
-    stacked_t = jnp.concatenate([points["x"], points["y"]]).T
+    # ---- cross-chunk exclusive suffixes CS[ch] = sum of chunks after ch
+    CS = _excl_suffix_scan(chunk_tot)  # (16, W, C)
 
-    def body(carry):
-        r, acc = carry
-        pos = jnp.clip(flat_starts + r, 0, n - 1)
-        pt_idx = order[lane_w, pos]  # (n_lanes,)
-        g = stacked_t[pt_idx].T  # (32, n_lanes)
-        valid = r < flat_counts
-        return r + 1, jac_madd(acc, g[:16], g[16:], valid)
+    # ---- Abel combine: sum_k S(pos_k), k = 1..B-1
+    ks = jnp.arange(1, B, dtype=sd.dtype)
+    pos = jax.vmap(lambda s: jnp.searchsorted(s, ks))(sd).astype(jnp.int32)
+    ok = pos < n  # (W, B-1)
+    posc = jnp.clip(pos, 0, n - 1)
+    s_intra = {
+        k: jnp.take_along_axis(v, posc[None], axis=2) for k, v in sfx.items()
+    }
+    s_cross = {
+        k: jnp.take_along_axis(v, (posc // q)[None], axis=2)
+        for k, v in CS.items()
+    }
+    terms = jac_add(s_intra, s_cross)  # (16, W, B-1)
+    inf = jac_infinity((w_n, B - 1))
+    terms = {k: df().select(~ok, inf[k], v) for k, v in terms.items()}
 
-    _, acc = jax.lax.while_loop(
-        lambda carry: carry[0] < max_run, body, (jnp.int32(0), inf_lane)
-    )
-
-    def fold(pts, S, lead):
-        """(16, lead, S, B) -> (16, lead, B) sequential slice fold.
-
-        A ``fori_loop`` with ONE jac_add body instead of an unrolled log-depth
-        tree: same total field work (S-1 adds over lead*B lanes), but the
-        compiled module holds a single addition graph — the unrolled tree made
-        XLA compile time explode (468 s for the 2-fold CPU module, and the
-        bulk of the 190 s TPU MSM compile in round 1)."""
-        pts = {k: v.reshape(16, lead, S, buckets_n) for k, v in pts.items()}
-        init = {k: v[:, :, 0] for k, v in pts.items()}
-
-        def body(s, acc):
-            cur = {
-                k: jax.lax.dynamic_index_in_dim(v, s, 2, False)
-                for k, v in pts.items()
-            }
-            return jac_add(acc, cur)
-
-        return jax.lax.fori_loop(1, S, body, init)
-
-    head = fold(
-        {k: v[:, : (w_n - 1) * hs * buckets_n].reshape(16, w_n - 1, hs, buckets_n)
-         for k, v in acc.items()},
-        hs, w_n - 1,
-    )
-    top = fold(
-        {k: v[:, (w_n - 1) * hs * buckets_n :].reshape(16, 1, ts, buckets_n)
-         for k, v in acc.items()},
-        ts, 1,
-    )
-    return {k: jnp.concatenate([head[k], top[k]], axis=1) for k in acc}
-
-
-def _bucket_reduce(buckets, buckets_n):
-    """sum_{j>=1} j * B_j per window = sum of suffix sums.
-
-    buckets: jac pytree (16, W, buckets_n) -> window sums (16, W).
-    Log-depth Hillis-Steele scans over the bucket axis, all windows batched.
-    """
-    assert buckets_n & (buckets_n - 1) == 0
-    d = df()
-    batch = buckets["x"].shape[1:]
-    inf = jac_infinity(batch)
-    mask = jnp.arange(buckets_n) == 0  # digit 0 contributes nothing
-    buckets = {k: d.select(jnp.broadcast_to(mask, batch), inf[k], buckets[k]) for k in buckets}
-
-    idx = jnp.arange(buckets_n)
-
-    def prefix_scan(pts):
-        """Inclusive prefix sum over the bucket axis (one add per step)."""
-
-        def step(s, acc):
-            dshift = jnp.left_shift(1, s)
-            prev = {k: jnp.roll(v, dshift, axis=-1) for k, v in acc.items()}
-            oob = jnp.broadcast_to(idx < dshift, batch)
-            prev = {k: d.select(oob, inf[k], prev[k]) for k in prev}
-            return jac_add(acc, prev)
-
-        return jax.lax.fori_loop(0, buckets_n.bit_length() - 1, step, pts)
-
-    # suffix sums = reversed prefix sums
-    rev = {k: v[..., ::-1] for k, v in buckets.items()}
-    suffix_rev = prefix_scan(rev)
-    # sum_{j>=1} j*B_j = sum_{j>=1} suffix[j] — drop suffix[0] (last element)
-    last = jnp.broadcast_to(jnp.arange(buckets_n) == buckets_n - 1, batch)
-    suffix_rev = {k: d.select(last, inf[k], v) for k, v in suffix_rev.items()}
-    total = prefix_scan(suffix_rev)
-    return {k: v[..., -1] for k, v in total.items()}
+    # tree-reduce over k (pad B-1 -> B with one infinity column)
+    pad = jac_infinity((w_n, 1))
+    terms = {k: jnp.concatenate([v, pad[k]], axis=-1) for k, v in terms.items()}
+    return _tree_sum(terms)  # (16, W)
 
 
 def _msm_wsums_raw(n: int):
     """Device Pippenger through window sums: (px, py, scalars) -> affine
-    window points (x, y) each (16, W).  The Horner window combine (256
-    sequential doublings at lane width 1 — 59 ms of idle-VPU time on v5e,
-    measured round 2) is finished on the HOST with big-int Jacobian ops
-    (~3 ms), where sequential-scalar work belongs."""
-    c = _window_bits(n)
-    buckets_n = 1 << c
+    window points (x, y) each (16, W).  The Horner window combine (c*W
+    sequential doublings at lane width 1 — idle-VPU time, measured round 2)
+    is finished on the HOST with big-int Jacobian ops (~3 ms), where
+    sequential-scalar work belongs."""
+    c = _msm_c(n)
 
     def fn(px, py, scalars_canonical):
-        digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
-        # infinity inputs ((0,0) marker) can't ride the mixed add — route all
-        # their digits to bucket 0, which the reducer discards
+        digits = _digits_from_limbs(scalars_canonical, c)
+        # infinity inputs ((0,0) marker) can't ride the mixed add — force
+        # digit 0, which the Abel combine never reads
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
-        bsums = _bucket_sums_all_windows({"x": px, "y": py}, digits, buckets_n)
-        wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
-        return jac_to_affine(wsums)
+        # Jacobian window sums; normalization happens on the HOST (the
+        # device inverse is a 254-step scan at lane width W — pure dispatch
+        # overhead for 22 lanes).  Stacked into ONE array: each device_get
+        # pays a full tunnel round trip (~28 ms measured), so three separate
+        # coordinate fetches would triple the host-tail latency.
+        w = _window_sums(px, py, digits, c)
+        return jnp.stack([w["x"], w["y"], w["z"]])
 
     return fn
 
@@ -395,16 +464,14 @@ def _msm_wsums_jit(n: int):
 def _msm_raw(n: int):
     """Fully-device MSM (window sums + device Horner) — used where the result
     must stay a device value (the shard_map'd multi-chip path)."""
-    c = _window_bits(n)
-    num_windows = 256 // c
-    buckets_n = 1 << c
+    c = _msm_c(n)
+    num_windows = -(-254 // c)
 
     def fn(px, py, scalars_canonical):
-        digits = _digits_from_limbs(scalars_canonical, c).astype(jnp.int32)
+        digits = _digits_from_limbs(scalars_canonical, c)
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
-        bsums = _bucket_sums_all_windows({"x": px, "y": py}, digits, buckets_n)
-        wsums = _bucket_reduce(bsums, buckets_n)  # (16, W) jac pytree
+        wsums = _window_sums(px, py, digits, c)  # (16, W) jac pytree
 
         def horner(i, acc):
             acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)
@@ -475,6 +542,35 @@ def _host_horner(wx_ints, wy_ints, c: int):
     return acc
 
 
+def _hj_add(p, q2, q):
+    """Full Jacobian + Jacobian add on host ints (None = infinity)."""
+    if p is None:
+        return q2
+    if q2 is None:
+        return p
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q2
+    Z1Z1 = Z1 * Z1 % q
+    Z2Z2 = Z2 * Z2 % q
+    U1 = X1 * Z2Z2 % q
+    U2 = X2 * Z1Z1 % q
+    S1 = Y1 * Z2 * Z2Z2 % q
+    S2 = Y2 * Z1 * Z1Z1 % q
+    if U1 == U2:
+        if S1 == S2:
+            return _hj_dbl(p, q)
+        return None
+    H = (U2 - U1) % q
+    I = 4 * H * H % q
+    J = H * I % q
+    rr = 2 * (S2 - S1) % q
+    V = U1 * I % q
+    X3 = (rr * rr - J - 2 * V) % q
+    Y3 = (rr * (V - X3) - 2 * S1 * J) % q
+    Z3 = ((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) * H % q
+    return None if Z3 == 0 else (X3, Y3, Z3)
+
+
 def _encode_host_jac(pt):
     d = df()
     if pt is None:
@@ -484,6 +580,50 @@ def _encode_host_jac(pt):
     return jac(enc[:, 0], enc[:, 1], enc[:, 2])
 
 
+# largest single-dispatch MSM: the suffix arrays are 3 * 16 * W * n u32, so
+# n = 2^18 at c=12 stays ~1.1 GB of HBM; larger inputs run in slices whose
+# window sums combine with host Jacobian adds (linearity of the MSM).
+_MSM_SLICE = 1 << 18
+
+
+def _wsums_host_affine(w):
+    """Device stacked (3, 16, W) window sums -> host affine ints ((0,0)=inf)."""
+    d = df()
+    w_host = np.asarray(jax.device_get(w))  # ONE tunnel fetch for all coords
+    X, Y, Z = d.decode(w_host[0]), d.decode(w_host[1]), d.decode(w_host[2])
+    q = BN254_FQ.p
+    wx, wy = [], []
+    for i in range(len(X)):
+        if int(Z[i]) % q == 0:
+            wx.append(0)
+            wy.append(0)
+        else:
+            zi = pow(int(Z[i]), q - 2, q)
+            zi2 = zi * zi % q
+            wx.append(int(X[i]) * zi2 % q)
+            wy.append(int(Y[i]) * zi2 % q * zi % q)
+    return wx, wy
+
+
+def _msm_host_point(px, py, scalars_canonical):
+    """MSM -> host Jacobian tuple (X, Y, Z) or None (infinity)."""
+    n = px.shape[-1]
+    if n <= _MSM_SLICE:
+        wsums = _msm_wsums_jit(n)(px, py, scalars_canonical)
+        wx, wy = _wsums_host_affine(wsums)
+        return _host_horner(wx, wy, _msm_c(n))
+    from ..field.params import BN254_FQ
+
+    acc = None
+    for s in range(0, n, _MSM_SLICE):
+        e = min(n, s + _MSM_SLICE)
+        pt = _msm_host_point(
+            px[:, s:e], py[:, s:e], scalars_canonical[:, s:e]
+        )
+        acc = _hj_add(acc, pt, BN254_FQ.p)
+    return acc
+
+
 def msm(px, py, scalars_canonical):
     """Multi-scalar multiplication.
 
@@ -491,19 +631,12 @@ def msm(px, py, scalars_canonical):
     scalars_canonical: (16, N) canonical (non-Montgomery) Fr limbs.
     Returns a jac point (16,) pytree (device; host Horner tail inside).
     """
-    n = px.shape[-1]
-    wx, wy = _msm_wsums_jit(n)(px, py, scalars_canonical)
-    d = df()
-    wx_i, wy_i = d.decode(wx), d.decode(wy)
-    return _encode_host_jac(_host_horner(wx_i, wy_i, _window_bits(n)))
+    return _encode_host_jac(_msm_host_point(px, py, scalars_canonical))
 
 
 def msm_points(px, py, scalars_canonical):
     """MSM returning the result as host ints (x, y), (0, 0) = infinity."""
-    n = px.shape[-1]
-    wx, wy = _msm_wsums_jit(n)(px, py, scalars_canonical)
-    d = df()
-    pt = _host_horner(d.decode(wx), d.decode(wy), _window_bits(n))
+    pt = _msm_host_point(px, py, scalars_canonical)
     if pt is None:
         return 0, 0
     from ..field.params import BN254_FQ
@@ -530,17 +663,15 @@ def _msm_batch_jit(n: int):
 def msm_batch_points(px, py, scalars_batch):
     """Batched MSM over shared points -> list of host-int (x, y) pairs."""
     n = px.shape[-1]
-    wx, wy = _msm_batch_jit(n)(px, py, scalars_batch)  # (B, 16, W)
-    d = df()
-    c = _window_bits(n)
-    wx_i = d.decode(jnp.moveaxis(wx, 0, -1))  # (W, B) host ints
-    wy_i = d.decode(jnp.moveaxis(wy, 0, -1))
-    from ..field.params import BN254_FQ
-
+    ws = _msm_batch_jit(n)(px, py, scalars_batch)  # (B, 3, 16, W)
+    c = _msm_c(n)
     q = BN254_FQ.p
+    ws_host = np.asarray(jax.device_get(ws))  # one fetch for all B
+    nb = ws_host.shape[0]
     out = []
-    for b in range(wx.shape[0]):
-        pt = _host_horner(wx_i[:, b], wy_i[:, b], c)
+    for b in range(nb):
+        wx, wy = _wsums_host_affine(ws_host[b])
+        pt = _host_horner(wx, wy, c)
         if pt is None:
             out.append((0, 0))
             continue

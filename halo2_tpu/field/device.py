@@ -211,6 +211,10 @@ class DeviceField:
         return self._cond_sub_p(res)
 
     def square(self, a):
+        if _pallas_wanted():
+            from .pallas_mul import mont_sqr
+
+            return mont_sqr(self.spec, a)
         return self.mul(a, a)
 
     def mul_small(self, a, k: int):

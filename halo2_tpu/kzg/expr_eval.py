@@ -37,6 +37,52 @@ def eval_expr(expr: Expression, getq) -> int:
     raise TypeError(type(expr))
 
 
+def eval_expr_rows(expr: Expression, columns: dict, n: int, rows: int, extra: dict = None):
+    """Vectorized host evaluation of ``expr`` over rows [0, rows).
+
+    numpy object arrays of Python ints: one elementwise array op per
+    expression node instead of a per-row tree walk (the round-2 prover's
+    per-row ``eval_expr`` loop was the lookup-permute hot spot).
+    """
+    import numpy as np
+
+    cache: dict = {}
+
+    def colarr(kind, idx):
+        key = (kind, idx)
+        if key not in cache:
+            cache[key] = np.array(columns[kind][idx], dtype=object)
+        return cache[key]
+
+    def ev(e):
+        if isinstance(e, Constant):
+            return int(e.value) % P
+        if isinstance(e, Query):
+            if extra and (e.column.kind.value, e.column.index) in extra:
+                return extra[(e.column.kind.value, e.column.index)] % P
+            arr = colarr(e.column.kind.value, e.column.index)
+            rot = e.rotation.value
+            if rot:
+                arr = np.roll(arr, -rot)
+            return arr[:rows] % P
+        if isinstance(e, SelectorExpr):
+            return colarr("selector", e.selector.index)[:rows] % P
+        if isinstance(e, Sum):
+            return (ev(e.a) + ev(e.b)) % P
+        if isinstance(e, Product):
+            return ev(e.a) * ev(e.b) % P
+        if isinstance(e, Negated):
+            return (-ev(e.a)) % P
+        if isinstance(e, Scaled):
+            return ev(e.a) * (int(e.scale) % P) % P
+        raise TypeError(type(e))
+
+    out = ev(expr)
+    if not isinstance(out, np.ndarray):
+        out = np.full(rows, out, dtype=object)
+    return out
+
+
 def row_getter(columns: dict, n: int, row: int, extra: dict = None):
     """columns: kind -> list of per-column host value lists."""
 

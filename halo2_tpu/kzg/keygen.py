@@ -349,14 +349,13 @@ def commit_coeffs(params, coeffs) -> object:
     return commit_coeffs_batch(params, [coeffs])[0]
 
 
-# all commit batches are padded to this width so a single vmapped-MSM
-# executable per SRS size serves every phase of keygen+prove (XLA compile of
-# the Pippenger graph is expensive; batch-size churn would recompile it)
-_COMMIT_BATCH = 16
-
-
 def commit_coeffs_batch(params, coeffs_list) -> list:
-    """Commit many polys over the shared SRS via one cached vmapped MSM.
+    """Commit many polys over the shared SRS, one single-MSM call each.
+
+    One NON-vmapped MSM executable per SRS size serves every phase of
+    keygen+prove AND every batch width (the round-2 vmapped variant padded to
+    a fixed batch of 16, re-lowered its Pallas kernels per process, and ran
+    up to 9 all-zero wasted MSM lanes per batch — 35 s of the k=11 prove).
 
     On the CPU backend (tests) Python-int host MSM is ~30x faster than the
     limb-vectorized device path, so commits fall back to it; TPU uses the
@@ -372,20 +371,13 @@ def commit_coeffs_batch(params, coeffs_list) -> list:
             scalars = [int(v) for v in dfr.decode(coeffs)]
             out.append(ec.msm_host(pts, scalars))
         return out
-    from ..ec.device import msm_batch_points
+    from ..ec.device import msm_points
 
     out = []
-    for start in range(0, len(coeffs_list), _COMMIT_BATCH):
-        chunk = list(coeffs_list[start : start + _COMMIT_BATCH])
-        pad = _COMMIT_BATCH - len(chunk)
-        chunk += [jnp.zeros((16, m), jnp.uint32)] * pad
-        batch = jnp.stack(chunk)                          # (B, 16, m)
-        canon = dfr.from_mont_arr(jnp.moveaxis(batch, 0, 1))  # (16, B, m)
-        canon = jnp.moveaxis(canon, 1, 0)
-        pts = msm_batch_points(params.g1_x[:, :m], params.g1_y[:, :m], canon)
-        out += [
-            ec.g1_from_ints(x, y) for x, y in pts[: _COMMIT_BATCH - pad]
-        ]
+    for coeffs in coeffs_list:
+        canon = dfr.from_mont_arr(coeffs)
+        x, y = msm_points(params.g1_x[:, :m], params.g1_y[:, :m], canon)
+        out.append(ec.g1_from_ints(x, y))
     return out
 
 

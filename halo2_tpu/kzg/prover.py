@@ -19,6 +19,7 @@ import time
 from collections import Counter
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..field.device import get_device_field
 from ..field.params import BN254_FR
@@ -26,7 +27,7 @@ from ..plonkish.assignment import run_synthesis
 from ..plonkish.column import Column, ColumnKind, Rotation
 from ..plonkish.evaluator import build_expr_batch_eval
 from ..plonkish.expression import Query
-from .expr_eval import batch_invert, eval_expr, row_getter
+from .expr_eval import batch_invert, eval_expr_rows
 from .keygen import ProvingKey, _horner, commit_coeffs, commit_coeffs_batch
 from .shplonk import shplonk_open
 from .transcript import Blake2bWrite
@@ -101,12 +102,8 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     for lk in cs.lookups:
         a_expr = _horner([p_[0] for p_ in lk.pairs], _aux_query(st.aux.THETA))
         s_expr = _horner([p_[1] for p_ in lk.pairs], _aux_query(st.aux.THETA))
-        a_vals = [
-            eval_expr(a_expr, row_getter(host_cols, n, r, aux_theta)) for r in range(u)
-        ]
-        s_vals = [
-            eval_expr(s_expr, row_getter(host_cols, n, r, aux_theta)) for r in range(u)
-        ]
+        a_vals = [int(v) for v in eval_expr_rows(a_expr, host_cols, n, u, aux_theta)]
+        s_vals = [int(v) for v in eval_expr_rows(s_expr, host_cols, n, u, aux_theta)]
         ap = sorted(a_vals)
         leftover = Counter(s_vals)
         sp = [None] * u
@@ -145,18 +142,21 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     perm_z_values = []
     carry = 1
     global_idx = 0
+    omega_arr = np.array(omegas[:u], dtype=object)
     for cols in st.perm_chunks:
-        nums, dens = [], []
-        for r in range(u):
-            num = den = 1
-            for ci, col in enumerate(cols):
-                v = host_cols[col.kind.value][col.index][r]
-                gi = global_idx + ci
-                num = num * ((v + beta * delta_pows[gi] % P * omegas[r] + gamma) % P) % P
-                den = den * ((v + beta * pk.sigma_values[gi][r] + gamma) % P) % P
-            nums.append(num)
-            dens.append(den)
-        den_inv = batch_invert(dens)
+        # vectorized over rows: one object-array op per column instead of a
+        # per-row Python loop (round-2 hot spot, kzg/prover.py:147-194)
+        num_a = np.ones(u, dtype=object)
+        den_a = np.ones(u, dtype=object)
+        for ci, col in enumerate(cols):
+            v = np.array(host_cols[col.kind.value][col.index][:u], dtype=object)
+            gi = global_idx + ci
+            lbl = (beta * delta_pows[gi] % P) * omega_arr
+            num_a = num_a * ((v + lbl + gamma) % P) % P
+            sig = np.array(pk.sigma_values[gi][:u], dtype=object)
+            den_a = den_a * ((v + beta * sig + gamma) % P) % P
+        den_inv = batch_invert(list(den_a))
+        nums = list(num_a)
         z = [0] * n
         z[0] = carry
         for r in range(u):
@@ -175,15 +175,17 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     # ------------------------------------------------ lookup grand products
     lookup_z_coeffs = []
     for ld in lookup_data:
-        dens = [
-            (ld["ap"][r] + beta) % P * ((ld["sp"][r] + gamma) % P) % P for r in range(u)
-        ]
+        ap_a = np.array(ld["ap"][:u], dtype=object)
+        sp_a = np.array(ld["sp"][:u], dtype=object)
+        dens = list((ap_a + beta) % P * ((sp_a + gamma) % P) % P)
         den_inv = batch_invert(dens)
+        a_a = np.array(ld["a"][:u], dtype=object)
+        s_a = np.array(ld["s"][:u], dtype=object)
+        nums = list((a_a + beta) % P * ((s_a + gamma) % P) % P)
         z = [0] * n
         z[0] = 1
         for r in range(u):
-            num = (ld["a"][r] + beta) % P * ((ld["s"][r] + gamma) % P) % P
-            z[r + 1] = z[r] * num % P * den_inv[r] % P
+            z[r + 1] = z[r] * nums[r] % P * den_inv[r] % P
         for r in range(u + 1, n):
             z[r] = rng.randrange(P)
         ld["z"] = z
@@ -256,32 +258,36 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     # ------------------------------------------------------------ evaluations
     polys = {}  # label -> host coeff list
 
-    def reg(label, coeffs_dev):
-        polys[label] = [int(v) for v in dfr.decode(coeffs_dev)]
-
-    for i, c in enumerate(advice_coeffs):
-        reg(("advice", i), c)
-    for i in range(len(pk.fixed_values)):
-        reg(("fixed", i), pk.fixed_coeffs[i])  # includes selectors
-    for i in range(len(perm_cols)):
-        reg(("sigma", i), pk.sigma_coeffs[i])
-    for c, zc in enumerate(perm_z_coeffs):
-        reg(("perm_z", c), zc)
+    # batch every registered poly into ONE stacked decode: each device_get
+    # pays a full tunnel round trip (~28 ms measured), so per-poly decodes
+    # cost seconds at this poly count
+    reg_list = [(("advice", i), c) for i, c in enumerate(advice_coeffs)]
+    reg_list += [
+        (("fixed", i), pk.fixed_coeffs[i]) for i in range(len(pk.fixed_values))
+    ]  # includes selectors
+    reg_list += [(("sigma", i), pk.sigma_coeffs[i]) for i in range(len(perm_cols))]
+    reg_list += [(("perm_z", c), zc) for c, zc in enumerate(perm_z_coeffs)]
     for i, ld in enumerate(lookup_data):
-        reg(("lookup_ap", i), ld["ap_coeffs"])
-        reg(("lookup_sp", i), ld["sp_coeffs"])
-        reg(("lookup_z", i), ld["z_coeffs"])
+        reg_list += [
+            (("lookup_ap", i), ld["ap_coeffs"]),
+            (("lookup_sp", i), ld["sp_coeffs"]),
+            (("lookup_z", i), ld["z_coeffs"]),
+        ]
+    reg_list += [(("h_piece", i), piece) for i, piece in enumerate(h_pieces)]
+    stacked = jnp.stack([arr for _, arr in reg_list])  # (M, 16, n)
+    dec = dfr.decode(jnp.moveaxis(stacked, 1, 0))  # (M, n) object ints
+    n_h = len(h_pieces)
+    for (label, _), row in zip(reg_list[: len(reg_list) - n_h], dec):
+        polys[label] = [int(v) for v in row]
     polys[("random", 0)] = random_poly
     # folded h: h(X) = sum x^{n i} h_i(X)
-    h_folded = [0] * n
     xn = pow(x, n, P)
+    h_np = np.zeros(n, dtype=object)
     factor = 1
-    for piece in h_pieces:
-        vals = [int(v) for v in dfr.decode(piece)]
-        for j in range(n):
-            h_folded[j] = (h_folded[j] + factor * vals[j]) % P
+    for row in dec[len(reg_list) - n_h :]:
+        h_np = (h_np + factor * row) % P
         factor = factor * xn % P
-    polys[("h", 0)] = h_folded
+    polys[("h", 0)] = [int(v) for v in h_np]
 
     from .queries import proof_queries
 

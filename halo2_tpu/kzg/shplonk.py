@@ -11,6 +11,8 @@ Reference call-surface: src/circuits/utils.rs:40-63.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..ec import host as ec
 from ..field.device import get_device_field
 from ..field.params import BN254_FR
@@ -32,25 +34,33 @@ def poly_from_roots(roots):
 
 
 def poly_add_scaled(acc, poly, scale):
+    """acc += poly * scale — vectorized (numpy object arrays of ints)."""
+    acc = np.asarray(acc, dtype=object)
+    poly = np.asarray(poly, dtype=object)
     if len(acc) < len(poly):
-        acc += [0] * (len(poly) - len(acc))
-    for i, c in enumerate(poly):
-        acc[i] = (acc[i] + c * scale) % P
+        acc = np.concatenate([acc, np.zeros(len(poly) - len(acc), dtype=object)])
+    acc[: len(poly)] = (acc[: len(poly)] + poly * scale) % P
     return acc
 
 
 def poly_mul(a, b):
-    out = [0] * (len(a) + len(b) - 1)
-    for i, x in enumerate(a):
-        if x:
-            for j, y in enumerate(b):
-                out[i + j] = (out[i + j] + x * y) % P
+    """Product via shifted adds of the SHORTER operand (the multiopen only
+    multiplies degree-n polys by tiny vanishing factors)."""
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    if len(b) > len(a):
+        a, b = b, a
+    out = np.zeros(len(a) + len(b) - 1, dtype=object)
+    for j, y in enumerate(b):
+        if y:
+            out[j : j + len(a)] = (out[j : j + len(a)] + a * y) % P
     return out
 
 
 def poly_div_exact(f, divisor):
     """f / divisor, asserting zero remainder; divisor monic-ized internally."""
-    f = list(f)
+    f = [int(v) for v in f]
+    divisor = [int(v) for v in divisor]
     d = len(divisor) - 1
     lead_inv = pow(divisor[-1], -1, P)
     out = [0] * max(len(f) - d, 1)
@@ -99,14 +109,14 @@ def shplonk_open(params, transcript, polys, queries, evals):
         S = sorted(set(points_of[label]))
         r = lagrange_interp(S, [evals[(label, s)] for s in S])
         r_coeffs[label] = r
-        diff = list(polys[label])
-        for i, c in enumerate(r):
-            diff[i] = (diff[i] - c) % P
+        diff = np.array(polys[label], dtype=object)
+        rr = np.asarray(r, dtype=object)
+        diff[: len(rr)] = (diff[: len(rr)] - rr) % P
         zfac = poly_from_roots([t for t in T if t not in S])
         f = poly_add_scaled(f, poly_mul(diff, zfac), vi)
         vi = vi * v % P
 
-    h = poly_div_exact(f, poly_from_roots(T))
+    h = poly_div_exact(f, [int(v) for v in poly_from_roots(T)])
     n = params.n
     h = (h + [0] * n)[:n]
     transcript.write_point(commit_coeffs(params, dfr.encode(h)))
@@ -121,7 +131,7 @@ def shplonk_open(params, transcript, polys, queries, evals):
         for t in T:
             if t not in S:
                 z_u = z_u * ((u_pt - t) % P) % P
-        diff = list(polys[label])
+        diff = np.array(polys[label], dtype=object)
         diff[0] = (diff[0] - poly_eval(r_coeffs[label], u_pt)) % P
         L = poly_add_scaled(L, diff, vi * z_u % P)
         vi = vi * v % P

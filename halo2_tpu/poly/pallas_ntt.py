@@ -38,18 +38,19 @@ from ..field.pallas_mul import (
     U32,
     TILE,
     mont_consts,
+    mont_in_specs,
     _mod_add_vmem,
     _mod_sub_vmem,
     _mont_mul_vmem,
 )
 
 
-def _small_stages_kernel(x_ref, tw_ref, tmat_ref, np_ref, p_ref, o_ref, *, ms):
+def _small_stages_kernel(x_ref, tw_ref, tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, o_ref, *, ms):
     x = x_ref[:]  # (16, TILE)
-    t_mat, nprime, p_limbs = tmat_ref[:], np_ref[:], p_ref[:]
+    t_mat, m2, m3, p_limbs = tmat_ref[:], m2_ref[:], m3_ref[:], p_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
     for si, m in enumerate(ms):
-        t = x if m == 1 else _mont_mul_vmem(x, tw_ref[si], t_mat, nprime, p_limbs)
+        t = x if m == 1 else _mont_mul_vmem(x, tw_ref[si], t_mat, m2, m3, p_limbs)
         # partners: up[i] = t[i-m] (for b-lanes), down[i] = t[i+m] (a-lanes).
         # The tile wrap-around only lands in lanes the select discards
         # (2m divides TILE, so 2m-groups never straddle the tile edge).
@@ -64,7 +65,7 @@ def _small_stages_kernel(x_ref, tw_ref, tmat_ref, np_ref, p_ref, o_ref, *, ms):
 def _small_stages_call(spec: FieldSpec, n: int, inverse: bool, ms: tuple):
     from .domain import _stage_twiddles
 
-    t_full, nprime_np, p_np = mont_consts(spec)
+    consts = mont_consts(spec)
     stages = _stage_twiddles(spec, n, inverse)
     one = np.zeros((L, 1), np.uint32)
     r = (1 << 256) % spec.p  # Montgomery one
@@ -85,22 +86,19 @@ def _small_stages_call(spec: FieldSpec, n: int, inverse: bool, ms: tuple):
         functools.partial(_small_stages_kernel, ms=ms),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid=(n // TILE,),
-        in_specs=[
-            tile_spec,
-            const((len(ms), L, TILE)),
-            const((2 * L, 4 * L * L)),
-            const((L, 1)),
-            const((L, 1)),
-        ],
+        in_specs=[tile_spec, const((len(ms), L, TILE))]
+        + mont_in_specs(lambda i: (0, 0)),
         out_specs=tile_spec,
     )
-    return lambda x: call(x, tw, t_full, nprime_np, p_np)
+    # inner jit: cache the Mosaic lowering per shape across call sites and
+    # processes (see field/pallas_mul._mont_mul_call)
+    return jax.jit(lambda x: call(x, tw, *consts))
 
 
-def _large_stage_kernel(x_ref, tw_ref, tmat_ref, np_ref, p_ref, o_ref):
+def _large_stage_kernel(x_ref, tw_ref, tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, o_ref):
     a = x_ref[:, 0, 0, :]
     b = x_ref[:, 0, 1, :]
-    bp = _mont_mul_vmem(b, tw_ref[:], tmat_ref[:], np_ref[:], p_ref[:])
+    bp = _mont_mul_vmem(b, tw_ref[:], tmat_ref[:], m2_ref[:], m3_ref[:], p_ref[:])
     o_ref[:, 0, 0, :] = _mod_add_vmem(a, bp, p_ref[:])
     o_ref[:, 0, 1, :] = _mod_sub_vmem(a, bp, p_ref[:])
 
@@ -109,7 +107,7 @@ def _large_stage_kernel(x_ref, tw_ref, tmat_ref, np_ref, p_ref, o_ref):
 def _large_stage_call(spec: FieldSpec, n: int, inverse: bool, m: int):
     from .domain import _stage_twiddles
 
-    t_full, nprime_np, p_np = mont_consts(spec)
+    consts = mont_consts(spec)
     tw = _stage_twiddles(spec, n, inverse)[m.bit_length() - 1]  # (L, m)
     mt = min(m, TILE)
     g = n // (2 * m)  # butterfly groups; view (L, G, 2, m) wing dim in-block
@@ -118,27 +116,18 @@ def _large_stage_call(spec: FieldSpec, n: int, inverse: bool, m: int):
         (L, 1, 2, mt), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
     )
     tw_spec = pl.BlockSpec((L, mt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
     call = pl.pallas_call(
         _large_stage_kernel,
         out_shape=jax.ShapeDtypeStruct((L, g, 2, m), jnp.uint32),
         grid=(g, m // mt),
-        in_specs=[
-            blk,
-            tw_spec,
-            const((2 * L, 4 * L * L)),
-            const((L, 1)),
-            const((L, 1)),
-        ],
+        in_specs=[blk, tw_spec] + mont_in_specs(lambda i, j: (0, 0)),
         out_specs=blk,
     )
 
     def fn(x):  # (L, n) -> (L, n)
-        return call(x.reshape(L, g, 2, m), tw, t_full, nprime_np, p_np).reshape(L, n)
+        return call(x.reshape(L, g, 2, m), tw, *consts).reshape(L, n)
 
-    return fn
+    return jax.jit(fn)
 
 
 def ntt_stages(spec: FieldSpec, n: int, inverse: bool):

@@ -33,6 +33,10 @@ import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import random
 
@@ -43,7 +47,7 @@ def main():
     from halo2_tpu.parallel.msm import sharded_msm
     from halo2_tpu.parallel.ntt import sharded_ntt
 
-    n = 1 << 12  # big enough to amortize collective overhead on 8 vCPUs
+    n = 1 << 10  # small enough to compile+run inside the driver budget
     rng = random.Random(11)
     base = ec.ec_mul(ec.G1, 7)
     pts = [ec.ec_mul(base, i + 1) for i in range(64)]
@@ -53,9 +57,12 @@ def main():
     dfr = get_device_field(BN254_FR)
     sc = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False)
 
-    def timed(mesh, axes, iters=3):
+    def timed(mesh, axes, iters=2):
+        import time as _t
+        t0 = _t.perf_counter()
         out = sharded_msm(mesh, px, py, sc, axes=axes)
         np.asarray(out["x"])
+        log(f"msm mesh={dict(mesh.shape)} compile+first {_t.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(iters):
             out = sharded_msm(mesh, px, py, sc, axes=axes)
@@ -64,43 +71,67 @@ def main():
 
     devs = jax.devices()
     mesh1 = Mesh(np.array(devs[:1]).reshape(1, 1), ("dp", "sp"))
+    mesh2 = Mesh(np.array(devs[:2]).reshape(1, 2), ("dp", "sp"))
     mesh8 = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "sp"))
     t1 = timed(mesh1, ("dp", "sp"))
+    log(f"t1={t1:.3f}")
+    t2 = timed(mesh2, ("dp", "sp"))
+    log(f"t2={t2:.3f}")
     t8 = timed(mesh8, ("dp", "sp"))
+    log(f"t8={t8:.3f}")
     msm_eff = t1 / (8 * t8)
+    msm_eff2 = t1 / (2 * t2)
+
+    # partial emit: if the NTT section blows the caller's budget, the MSM
+    # numbers still reach bench.py (it keeps the LAST JSON line seen)
+    cores = os.cpu_count() or 1
+    partial = {
+        "msm_t1_s": round(t1, 4),
+        "msm_t2_s": round(t2, 4),
+        "msm_t8_s": round(t8, 4),
+        "msm_scaling_efficiency_2dev": round(msm_eff2, 4),
+        "msm_scaling_efficiency_8dev": round(msm_eff, 4),
+        "scaling_host_cores": cores,
+        "scaling_8dev_ceiling": round(min(1.0, cores / 8), 4),
+    }
+    print(json.dumps(partial), flush=True)
 
     # NTT: four-step all_to_all over sp
-    m = 1 << 14
+    m = 1 << 12
     x = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(1024)])
     import jax.numpy as jnp
 
     x = jnp.tile(x, (1, m // 1024))
     o1 = sharded_ntt(mesh1, BN254_FR, x)
     np.asarray(o1[0, :1])
+    log("ntt mesh1 compiled")
     t0 = time.perf_counter()
     o1 = sharded_ntt(mesh1, BN254_FR, x)
     np.asarray(o1[0, :1])
     nt1 = time.perf_counter() - t0
     o8 = sharded_ntt(mesh8, BN254_FR, x)
     np.asarray(o8[0, :1])
+    log("ntt mesh8 compiled")
     t0 = time.perf_counter()
     o8 = sharded_ntt(mesh8, BN254_FR, x)
     np.asarray(o8[0, :1])
     nt8 = time.perf_counter() - t0
     ntt_eff = nt1 / (8 * nt8)
 
-    print(
-        json.dumps(
-            {
-                "msm_t1_s": round(t1, 4),
-                "msm_t8_s": round(t8, 4),
-                "msm_scaling_efficiency_8dev": round(msm_eff, 4),
-                "ntt_t1_s": round(nt1, 4),
-                "ntt_t8_s": round(nt8, 4),
-                "ntt_scaling_efficiency_8dev": round(ntt_eff, 4),
-            }
-        )
+    # NOTE on ceilings: the 8 virtual devices share this host's physical
+    # cores, so the work-normalized 8-dev efficiency is capped at cores/8
+    # regardless of how little the collectives cost — report the cap so the
+    # number can be read honestly (real multi-chip hardware is unavailable;
+    # BASELINE.md).  The 2-dev figure is attainable when cores >= 2.
+    full = dict(partial)
+    full.update(
+        {
+            "ntt_t1_s": round(nt1, 4),
+            "ntt_t8_s": round(nt8, 4),
+            "ntt_scaling_efficiency_8dev": round(ntt_eff, 4),
+        }
     )
+    print(json.dumps(full), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ def _interpret_pallas(monkeypatch):
     monkeypatch.setattr(pm.pl, "pallas_call", patched)
     yield
     pm._mont_mul_call.cache_clear()
+    pm._mont_sqr_call.cache_clear()
 
 
 @pytest.mark.parametrize("spec", [BN254_FR, BN254_FQ, PASTA_FP])
@@ -40,6 +41,18 @@ def test_pallas_mont_mul_matches_jnp(spec):
     a, b = d.encode(vals_a), d.encode(vals_b)
     got = pm.mont_mul(spec, a, b)
     want = d.mul(a, b)  # jnp path (CPU backend -> pallas disabled)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("spec", [BN254_FQ, PASTA_FP])
+def test_pallas_mont_sqr_matches_jnp(spec):
+    d = get_device_field(spec)
+    rng = random.Random(5)
+    p = spec.p
+    vals = [0, 1, p - 1, p - 2] + [rng.randrange(p) for _ in range(60)]
+    a = d.encode(vals)
+    got = pm.mont_sqr(spec, a)
+    want = d.mul(a, a)  # jnp path (CPU backend -> pallas disabled)
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
