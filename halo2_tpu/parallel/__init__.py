@@ -11,5 +11,13 @@ from .mesh import make_mesh
 from .msm import sharded_msm
 from .ntt import sharded_ntt
 from .pipeline import build_sharded_prove_step
+from .scan import grand_product_z, sharded_prefix_product
 
-__all__ = ["make_mesh", "sharded_msm", "sharded_ntt", "build_sharded_prove_step"]
+__all__ = [
+    "make_mesh",
+    "sharded_msm",
+    "sharded_ntt",
+    "build_sharded_prove_step",
+    "grand_product_z",
+    "sharded_prefix_product",
+]

@@ -53,7 +53,8 @@ def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
+def _ntt_raw(spec: FieldSpec, n: int, inverse: bool):
+    """Un-jitted NTT builder (composable inside an outer jit)."""
     from ..field.pallas_mul import pallas_available
 
     df = get_device_field(spec)
@@ -73,7 +74,7 @@ def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
                 x = df.mul(x, n_inv)
             return x
 
-        return tuned_jit(fn)
+        return fn
 
     stages = _stage_twiddles(spec, n, inverse)
 
@@ -91,7 +92,12 @@ def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
             x = df.mul(x, n_inv)
         return x
 
-    return tuned_jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_fn(spec: FieldSpec, n: int, inverse: bool):
+    return tuned_jit(_ntt_raw(spec, n, inverse))
 
 
 class EvaluationDomain:
@@ -131,27 +137,58 @@ class EvaluationDomain:
 
     def coeff_to_extended(self, coeffs):
         """(L, n) coeffs -> (L, extended_n) evals on the extended coset."""
+        return self._c2e_fn(coeffs.shape[1])(coeffs)
+
+    @functools.lru_cache(maxsize=None)
+    def _c2e_fn(self, m):
+        # one jitted program per input width: the pad + coset-scale mul ran
+        # EAGERLY before (one pallas dispatch per prover column — the bulk of
+        # the k=11 quotient phase's per-column overhead)
         df = self.df
-        padded = jnp.zeros((16, self.extended_n), jnp.uint32).at[:, : coeffs.shape[1]].set(coeffs)
-        scaled = df.mul(padded, self._coset_powers(self.extended_n))
-        return _ntt_fn(self.spec, self.extended_n, False)(scaled)
+        powers = self._coset_powers(self.extended_n)
+        ntt = _ntt_raw(self.spec, self.extended_n, False)
+
+        def fn(coeffs):
+            padded = (
+                jnp.zeros((16, self.extended_n), jnp.uint32)
+                .at[:, :m]
+                .set(coeffs)
+            )
+            return ntt(df.mul(padded, powers))
+
+        return tuned_jit(fn)
 
     def extended_to_coeff(self, evals):
         """(L, extended_n) coset evals -> (L, extended_n) coefficients."""
+        return self._e2c_fn()(evals)
+
+    @functools.lru_cache(maxsize=None)
+    def _e2c_fn(self):
         df = self.df
-        coeffs = _ntt_fn(self.spec, self.extended_n, True)(evals)
-        return df.mul(coeffs, self._coset_powers_inv(self.extended_n))
+        powers_inv = self._coset_powers_inv(self.extended_n)
+        ntt = _ntt_raw(self.spec, self.extended_n, True)
+
+        def fn(evals):
+            return df.mul(ntt(evals), powers_inv)
+
+        return tuned_jit(fn)
 
     @functools.lru_cache(maxsize=None)
     def _coset_powers(self, n):
         p = self.spec.p
-        return self.df.encode([pow(self.g_coset, i, p) for i in range(n)])
+        pows = [1] * n
+        for i in range(1, n):
+            pows[i] = pows[i - 1] * self.g_coset % p
+        return self.df.encode(pows)
 
     @functools.lru_cache(maxsize=None)
     def _coset_powers_inv(self, n):
         p = self.spec.p
         ginv = pow(self.g_coset, -1, p)
-        return self.df.encode([pow(ginv, i, p) for i in range(n)])
+        pows = [1] * n
+        for i in range(1, n):
+            pows[i] = pows[i - 1] * ginv % p
+        return self.df.encode(pows)
 
     # ------------------------------------------------------- vanishing helpers
     @functools.lru_cache(maxsize=None)

@@ -34,6 +34,25 @@ def test_mesh_shape():
     assert mesh.shape == {"dp": 2, "sp": 4}
 
 
+def test_sharded_prefix_product_matches_host():
+    import random
+
+    from halo2_tpu.parallel import grand_product_z
+
+    n = 1 << 9
+    rng = random.Random(21)
+    dfr = get_device_field(BN254_FR)
+    p = BN254_FR.p
+    nums = [rng.randrange(1, p) for _ in range(n)]
+    dens = [rng.randrange(1, p) for _ in range(n)]
+    mesh = make_mesh(8)
+    z = grand_product_z(mesh, BN254_FR, dfr.encode(nums), dfr.encode(dens))
+    z_host = [1] * n
+    for r in range(n - 1):
+        z_host[r + 1] = z_host[r] * nums[r] % p * pow(dens[r], -1, p) % p
+    assert [int(v) for v in dfr.decode(z)] == z_host
+
+
 def test_sharded_msm_matches_single_chip():
     n = 32
     rng = random.Random(7)
@@ -116,6 +135,9 @@ def test_sharded_prove_step_flagship():
     _pts, px, py = _random_points(16)
     mesh = make_mesh(8)
     step = build_sharded_prove_step(mesh, cs, BN254_FR, 16)
-    violations, commitment = step(columns, px, py)
+    violations, coeffs, commitments, z = step(columns, px, py)
     assert int(jnp.sum(violations)) == 0
-    assert commitment["x"].shape == (16,)
+    n_adv = columns["advice"].shape[0]
+    assert coeffs.shape == (n_adv, 16, n)
+    assert commitments["x"].shape == (n_adv, 16)
+    assert z.shape == (16, n)
