@@ -4,7 +4,7 @@ Replaces the reference's single-host rayon Pippenger inside
 `KZGCommitmentScheme` commits (src/circuits/utils.rs:40-48) with the
 BASELINE.json mandate: "MSM points/buckets are partitioned with bucket sums
 reduced via collectives".  Each device runs the full single-chip Pippenger
-(ec.device._msm_raw — sort + segmented-scan bucket accumulation) over its
+(ec.device._msm_raw — quota-scheduled Abel-summation schedule) over its
 shard of the points, producing one partial Jacobian sum; the D partials are
 exchanged with ``all_gather`` over the mesh axes and folded with the complete
 Jacobian addition law on every device (replicated result).

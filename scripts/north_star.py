@@ -25,8 +25,16 @@ def main() -> dict:
     ap.add_argument("--k", type=int, default=11)
     ap.add_argument("--depth", type=int, default=15)
     ap.add_argument("--no-pk-cache", action="store_true")
+    ap.add_argument(
+        "--profile-dir",
+        default=os.environ.get("HALO2_TPU_PROFILE"),
+        help="capture a jax.profiler trace of the prove phase into this dir "
+        "(view with tensorboard / xprof; SURVEY.md §5 tracing)",
+    )
     args = ap.parse_args()
     os.environ.setdefault("HALO2_TPU_TIMING", "1")
+
+    import contextlib
 
     import jax
 
@@ -84,9 +92,19 @@ def main() -> dict:
     vk_time = pk_time = keygen_time / 2
 
     PHASE_TIMINGS.clear()
+    prof = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
-    proof = create_proof(params, pk, circuit, [list(public_input)], rng=random.Random(7))
+    with prof:
+        proof = create_proof(
+            params, pk, circuit, [list(public_input)], rng=random.Random(7)
+        )
     proof_time = time.perf_counter() - t0
+    if args.profile_dir:
+        print(f"profiler trace written to {args.profile_dir}", flush=True)
 
     t0 = time.perf_counter()
     ok = verify_proof(params.verifier_params(), pk.vk, proof, [list(public_input)])
