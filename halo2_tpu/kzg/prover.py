@@ -292,11 +292,25 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     from .queries import proof_queries
 
     queries, evals_order = proof_queries(st, x)
-    from .expr_eval import poly_eval
 
+    # one power table per distinct point; each eval is then a vectorized
+    # object-array dot (the sequential Horner loop was ~half the phase)
+    pt_pows = {}
+    for _, point in queries:
+        if point not in pt_pows:
+            pws = np.empty(n, dtype=object)
+            acc = 1
+            for i in range(n):
+                pws[i] = acc
+                acc = acc * point % P
+            pt_pows[point] = pws
+    poly_np = {}
     evals = {}
     for label, point in queries:
-        evals[(label, point)] = poly_eval(polys[label], point)
+        if label not in poly_np:
+            poly_np[label] = np.array(polys[label], dtype=object)
+        prods = poly_np[label] * pt_pows[point] % P
+        evals[(label, point)] = int(prods.sum()) % P
     for label, point in evals_order:
         transcript.write_scalar(evals[(label, point)])
 
