@@ -159,6 +159,35 @@ def bench_msm_2_20():
     return n / dt, dt
 
 
+def bench_northstar():
+    """End-to-end k=11/depth-15 merkle-sum-tree prove+verify (BASELINE.md
+    north star) in a subprocess; returns {northstar_prove_s, ...} fields so
+    the driver artifact captures it (round-3 VERDICT item 5)."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "north_star.py"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=480,
+        )
+        for line in reversed((out.stdout or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                return {
+                    "northstar_prove_s": d.get("prove_s"),
+                    "northstar_verify_s": d.get("verify_s"),
+                    "northstar_keygen_s": d.get("keygen_s"),
+                    "northstar_workload": d.get("workload"),
+                }
+        return {"northstar": "FAILED", "northstar_error": out.stderr[-200:]}
+    except Exception as e:
+        return {"northstar": "FAILED", "northstar_error": str(e)[:200]}
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     pps, msm_dt = bench_msm()
@@ -182,6 +211,10 @@ def main():
         result["ntt_vs_baseline"] = round(bps / BASELINE_BUTTERFLIES_PER_SEC, 4)
     except Exception as e:  # NTT context only; never break the headline line
         log(f"NTT bench skipped: {e}")
+    if not os.environ.get("HALO2_TPU_BENCH_NO_NORTHSTAR"):
+        ns = bench_northstar()
+        log(f"north star: {ns}")
+        result.update(ns)
     if not os.environ.get("HALO2_TPU_BENCH_NO_SCALING"):
         result.update(bench_scaling())
     print(json.dumps(result))

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import dataclasses
 
-from ...plonkish import Value
 from ...poseidon.primitives import ConstantLength, Spec
 from .pow5 import HashGadget, Pow5Chip, Pow5Config
 

@@ -17,7 +17,6 @@ from ..plonkish import Rotation, Value
 from .is_zero import IsZeroChip, IsZeroConfig
 from .utils import (
     decompose_bigint_to_ubits,
-    f_to_big_uint,
     range_check,
     range_check_vec,
     value_f_to_big_uint,

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..chips.merkle_sum_tree import L, RATE, WIDTH, MerkleSumTreeChip, MerkleSumTreeConfig
+from ..chips.merkle_sum_tree import RATE, WIDTH, MerkleSumTreeChip, MerkleSumTreeConfig
 from ..plonkish import Circuit
 from ..poseidon.primitives import MySpec, poseidon_hash
 

@@ -36,6 +36,9 @@ class MerkleTreeV1Circuit(Circuit):
         )
         for i in range(1, len(self.path_elements)):
             digest = chip.merkle_prove_layer(
-                layouter.namespace("next level"), digest, self.path_elements[i], self.path_indices[i]
+                layouter.namespace("next level"),
+                digest,
+                self.path_elements[i],
+                self.path_indices[i],
             )
         chip.expose_public(layouter.namespace("root"), digest, 1)

@@ -7,7 +7,7 @@ constants at width 3.
 
 from __future__ import annotations
 
-from ..chips.merkle_v3 import L, RATE, WIDTH, MerkleTreeV3Chip, MerkleTreeV3Config
+from ..chips.merkle_v3 import MerkleTreeV3Chip, MerkleTreeV3Config
 from ..plonkish import Circuit, Value
 from ..poseidon.primitives import P128Pow5T3, poseidon_hash
 
@@ -49,10 +49,16 @@ class MerkleTreeV3Circuit(Circuit):
         leaf_cell = chip.assing_leaf(layouter.namespace("assign leaf"), self.leaf)
         chip.expose_public(layouter.namespace("public leaf"), leaf_cell, 0)
         digest = chip.merkle_prove_layer(
-            layouter.namespace("merkle_prove"), leaf_cell, self.path_elements[0], self.path_indices[0]
+            layouter.namespace("merkle_prove"),
+            leaf_cell,
+            self.path_elements[0],
+            self.path_indices[0],
         )
         for i in range(1, len(self.path_elements)):
             digest = chip.merkle_prove_layer(
-                layouter.namespace("next level"), digest, self.path_elements[i], self.path_indices[i]
+                layouter.namespace("next level"),
+                digest,
+                self.path_elements[i],
+                self.path_indices[i],
             )
         chip.expose_public(layouter.namespace("public root"), digest, 1)

@@ -13,7 +13,7 @@ artifact (byte-stable across runs, diffable in review).
 from __future__ import annotations
 
 from ..plonkish.assignment import run_synthesis
-from ..plonkish.column import Column, ColumnKind, Selector
+from ..plonkish.column import Column, Selector
 
 # halo2's CircuitLayout palette (approximate): regions blue, advice red-ish,
 # fixed dark-blue, instance white/grey, selectors green.

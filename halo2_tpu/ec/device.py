@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..jitutil import tuned_jit
 
 from ..field.device import DeviceField, get_device_field
-from ..field.params import BN254_FQ, LIMB_BITS, NUM_LIMBS as L
+from ..field.params import BN254_FQ, NUM_LIMBS as L
 
 U32 = jnp.uint32
 
@@ -431,15 +431,40 @@ def _window_sums(px, py, digits, c: int):
     return _tree_sum(terms)  # (16, W)
 
 
+def _chunkable_n(n: int) -> int:
+    """Smallest m >= n that _window_sums can chunk: m = 16*C with C either
+    <= 64 or recursively a multiple of 64 (the _excl_suffix_scan radix), so
+    C*q == m holds at every level.  Padding entries are (0,0) points with
+    digit 0 — sorted first and never read by the Abel combine (same invariant
+    as real infinity inputs)."""
+    if n < 16:
+        return n
+
+    def round_chunks(C):
+        if C <= 64:
+            return C
+        return 64 * round_chunks(-(-C // 64))
+
+    return 16 * round_chunks(-(-n // 16))
+
+
 def _msm_wsums_raw(n: int):
-    """Device Pippenger through window sums: (px, py, scalars) -> affine
-    window points (x, y) each (16, W).  The Horner window combine (c*W
-    sequential doublings at lane width 1 — idle-VPU time, measured round 2)
-    is finished on the HOST with big-int Jacobian ops (~3 ms), where
-    sequential-scalar work belongs."""
+    """Device Pippenger through window sums: (px, py, scalars) -> stacked
+    Jacobian window sums, ONE (3, 16, W) array (x/y/z), normalized to affine
+    later on the host (one device_get for all coordinates — each fetch pays a
+    full tunnel round trip).  The Horner window combine (c*W sequential
+    doublings at lane width 1 — idle-VPU time, measured round 2) is finished
+    on the HOST with big-int Jacobian ops (~3 ms), where sequential-scalar
+    work belongs."""
     c = _msm_c(n)
+    m = _chunkable_n(n)
 
     def fn(px, py, scalars_canonical):
+        if m != n:
+            pad = ((0, 0), (0, m - n))
+            px = jnp.pad(px, pad)
+            py = jnp.pad(py, pad)
+            scalars_canonical = jnp.pad(scalars_canonical, pad)
         digits = _digits_from_limbs(scalars_canonical, c)
         # infinity inputs ((0,0) marker) can't ride the mixed add — force
         # digit 0, which the Abel combine never reads
@@ -466,8 +491,14 @@ def _msm_raw(n: int):
     must stay a device value (the shard_map'd multi-chip path)."""
     c = _msm_c(n)
     num_windows = -(-254 // c)
+    m = _chunkable_n(n)
 
     def fn(px, py, scalars_canonical):
+        if m != n:
+            pad = ((0, 0), (0, m - n))
+            px = jnp.pad(px, pad)
+            py = jnp.pad(py, pad)
+            scalars_canonical = jnp.pad(scalars_canonical, pad)
         digits = _digits_from_limbs(scalars_canonical, c)
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
@@ -648,35 +679,3 @@ def msm_points(px, py, scalars_canonical):
     return X * zinv2 % q, Y * zinv2 % q * zinv % q
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_batch_jit(n: int):
-    """One set of base points, many scalar vectors: vmapped window-sum
-    Pippenger in a single executable (the per-phase commit path)."""
-    single = _msm_wsums_raw(n)
-
-    def fn(px, py, scalars_batch):  # scalars_batch: (B, 16, n)
-        return jax.vmap(lambda s: single(px, py, s))(scalars_batch)
-
-    return tuned_jit(fn)
-
-
-def msm_batch_points(px, py, scalars_batch):
-    """Batched MSM over shared points -> list of host-int (x, y) pairs."""
-    n = px.shape[-1]
-    ws = _msm_batch_jit(n)(px, py, scalars_batch)  # (B, 3, 16, W)
-    c = _msm_c(n)
-    q = BN254_FQ.p
-    ws_host = np.asarray(jax.device_get(ws))  # one fetch for all B
-    nb = ws_host.shape[0]
-    out = []
-    for b in range(nb):
-        wx, wy = _wsums_host_affine(ws_host[b])
-        pt = _host_horner(wx, wy, c)
-        if pt is None:
-            out.append((0, 0))
-            continue
-        X, Y, Z = pt
-        zinv = pow(Z, q - 2, q)
-        zinv2 = zinv * zinv % q
-        out.append((X * zinv2 % q, Y * zinv2 % q * zinv % q))
-    return out

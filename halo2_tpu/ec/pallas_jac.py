@@ -130,7 +130,8 @@ def _add_kernel(
     x3 = sub(sub(sqr(rr), j), add(v, v))
     sj = mul(s1, j)
     y3 = sub(mul(rr, sub(v, x3)), add(sj, sj))
-    z3 = mul(add(mul(z1, z2), mul(z1, z2)), h)  # 2*z1*z2*h
+    zz = mul(z1, z2)
+    z3 = mul(add(zz, zz), h)  # 2*z1*z2*h
 
     h_zero = _is_zero(h)
     r_zero = _is_zero(r)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS, to_limbs, from_limbs
+from .params import FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS, to_limbs
 
 L = NUM_LIMBS
 U32 = jnp.uint32

@@ -13,7 +13,7 @@ device via :mod:`halo2_tpu.field.device`.
 
 from __future__ import annotations
 
-from .params import FieldSpec, SPECS, PASTA_FP, PASTA_FQ, BN254_FR, BN254_FQ
+from .params import FieldSpec, PASTA_FP, PASTA_FQ, BN254_FR, BN254_FQ
 
 
 class PrimeField:
@@ -168,7 +168,11 @@ def field_class(spec: FieldSpec) -> type[PrimeField]:
     """Get (and cache) the PrimeField subclass for a spec."""
     cls = _CLASSES.get(spec.name)
     if cls is None:
-        cls = type(spec.name.title().replace("_", ""), (PrimeField,), {"SPEC": spec, "__slots__": ()})
+        cls = type(
+            spec.name.title().replace("_", ""),
+            (PrimeField,),
+            {"SPEC": spec, "__slots__": ()},
+        )
         _CLASSES[spec.name] = cls
     return cls
 

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 from ..field.params import BN254_FR
-from ..plonkish.column import ColumnKind
 from ..plonkish.expression import (
     Constant,
     Expression,

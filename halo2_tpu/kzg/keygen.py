@@ -23,7 +23,6 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..ec.device import df as dfq, jac_to_affine
 from ..ec import host as ec
 from ..field.device import get_device_field
 from ..field.params import BN254_FR
@@ -327,12 +326,15 @@ class ProvingKey:
             [ec.g1_from_ints(x, y) for x, y in data["sigma_commitments"]],
             data["digest"],
         )
+        # keep coeffs as HOST numpy: jnp ops upload on dispatch, and the
+        # native engine reads them without paying a tunnel device_get
+        # (first fetch measured 285 s round 4)
         return cls(
             vk,
             data["fixed_values"],
             data["sigma_values"],
-            jnp.asarray(data["fixed_coeffs"]),
-            jnp.asarray(data["sigma_coeffs"]),
+            data["fixed_coeffs"],
+            data["sigma_coeffs"],
         )
 
 
@@ -350,20 +352,45 @@ def commit_coeffs(params, coeffs) -> object:
 
 
 def commit_coeffs_batch(params, coeffs_list) -> list:
-    """Commit many polys over the shared SRS, one single-MSM call each.
+    """Commit many polys (device (16, m) Montgomery arrays) over the shared
+    SRS, preferring the NATIVE C++ Pippenger (halo2_tpu/native): measured
+    round 4, the device MSM's first execution through the axon tunnel costs
+    ~731 s of backend program load for n=2048 while its steady-state compute
+    is 0.033 s — the native engine commits in milliseconds with zero program
+    setup (NOTES_ROUND4.md).  Fallbacks: Python-int host MSM on CPU, the
+    device Pippenger on TPU (forced via HALO2_TPU_COMMIT_BACKEND=device —
+    the right choice only once many same-shape commits amortize the load)."""
+    import os
 
-    One NON-vmapped MSM executable per SRS size serves every phase of
-    keygen+prove AND every batch width (the round-2 vmapped variant padded to
-    a fixed batch of 16, re-lowered its Pallas kernels per process, and ran
-    up to 9 all-zero wasted MSM lanes per batch — 35 s of the k=11 prove).
-
-    On the CPU backend (tests) Python-int host MSM is ~30x faster than the
-    limb-vectorized device path, so commits fall back to it; TPU uses the
-    device Pippenger."""
     import jax
+    import numpy as np
+
+    from .. import native
 
     dfr = get_device_field(FR)
     m = coeffs_list[0].shape[-1]
+    mode = os.environ.get("HALO2_TPU_COMMIT_BACKEND", "auto")
+    if mode != "device" and native.available():
+        cached = getattr(params, "_native_srs", None)
+        if cached is None:
+            cached = (
+                native.pack_device(np.asarray(params.g1_x)),
+                native.pack_device(np.asarray(params.g1_y)),
+            )
+            params._native_srs = cached
+        px, py = cached[0][:m], cached[1][:m]
+        if all(isinstance(c, np.ndarray) for c in coeffs_list):
+            stacked = np.stack(coeffs_list)  # (B, 16, m) Montgomery, host
+        else:
+            # device inputs: ONE stacked fetch (per-array gets pay a tunnel
+            # round trip each)
+            stacked = np.asarray(jnp.stack(coeffs_list))
+        packed = np.stack([native.pack_device(c) for c in stacked])
+        canon = native.from_mont(packed.reshape(-1, 4), "fr").reshape(packed.shape)
+        return [
+            ec.g1_from_ints(x, y)
+            for x, y in native.msm_g1_mont_batch(px, py, canon)
+        ]
     if jax.default_backend() == "cpu":
         pts = params.g1_host()[:m]
         out = []
@@ -381,6 +408,29 @@ def commit_coeffs_batch(params, coeffs_list) -> list:
     return out
 
 
+def _intt_columns(domain, dfr, values_lists, n):
+    """Column value lists -> stacked (F, 16, n) Montgomery coefficient limbs.
+
+    Native C++ NTT when available (host numpy result, no device programs —
+    a cold keygen previously paid the tunnel's per-program setup for the
+    device iNTT ladder); device NTT otherwise."""
+    import numpy as np
+
+    from .. import native
+
+    if not values_lists:
+        return np.zeros((0, 16, n), np.uint32)
+    if native.available():
+        cols = []
+        for vals in values_lists:
+            c = native.ntt_fr(
+                native.pack_ints([int(v) % FR.p for v in vals]), inverse=True
+            )
+            cols.append(native.unpack_device(native.to_mont(c, "fr")))
+        return np.stack(cols)
+    return jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in values_lists])
+
+
 def keygen(params, circuit, k: int, F) -> ProvingKey:
     """vk+pk in one pass (halo2 splits keygen_vk/keygen_pk; we share work)."""
     circuit_no_wit = circuit.without_witnesses()
@@ -393,16 +443,8 @@ def keygen(params, circuit, k: int, F) -> ProvingKey:
     fixed_values = [list(col) for col in fin.fixed] + [list(s) for s in fin.selectors]
     sigma_values = structure.build_sigma_values(fin.copies)
 
-    fixed_coeffs = (
-        jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in fixed_values])
-        if fixed_values
-        else jnp.zeros((0, 16, structure.n), jnp.uint32)
-    )
-    sigma_coeffs = (
-        jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in sigma_values])
-        if sigma_values
-        else jnp.zeros((0, 16, structure.n), jnp.uint32)
-    )
+    fixed_coeffs = _intt_columns(domain, dfr, fixed_values, structure.n)
+    sigma_coeffs = _intt_columns(domain, dfr, sigma_values, structure.n)
 
     all_coeffs = [fixed_coeffs[i] for i in range(len(fixed_values))] + [
         sigma_coeffs[i] for i in range(len(sigma_values))

@@ -22,19 +22,19 @@ import numpy as np
 
 from ..ec import host as ec
 from ..ec.device import df as dfq, jac_from_affine, jac_to_affine, scalar_mul_batched
-from ..field.device import get_device_field
-from ..field.params import BN254_FR
 
 
 class ParamsKZG:
-    """g1 powers [G, tauG, ..., tau^{n-1}G] (device, Montgomery affine),
-    g2, s_g2 = tau*G2 (host)."""
+    """g1 powers [G, tauG, ..., tau^{n-1}G] (HOST numpy, Montgomery affine
+    limbs — jnp ops upload on dispatch; keeping them off-device avoids the
+    tunnel's first-device_get penalty, measured 285 s round 4), g2,
+    s_g2 = tau*G2 (host)."""
 
     def __init__(self, k: int, g1_x, g1_y, g2, s_g2):
         self.k = k
         self.n = 1 << k
-        self.g1_x = g1_x  # (16, n) device
-        self.g1_y = g1_y
+        self.g1_x = np.asarray(g1_x)  # (16, n) host numpy, Montgomery
+        self.g1_y = np.asarray(g1_y)
         self.g2 = g2
         self.s_g2 = s_g2
 
@@ -107,7 +107,7 @@ class ParamsKZG:
             data = pickle.load(f)
         g2 = (ec.FQ2(data["g2"][0]), ec.FQ2(data["g2"][1]))
         s_g2 = (ec.FQ2(data["s_g2"][0]), ec.FQ2(data["s_g2"][1]))
-        return cls(data["k"], jnp.asarray(data["g1_x"]), jnp.asarray(data["g1_y"]), g2, s_g2)
+        return cls(data["k"], data["g1_x"], data["g1_y"], g2, s_g2)
 
     @classmethod
     def setup_cached(cls, k: int, seed: int = 0xD15C0, cache_dir: str = None):

@@ -6,9 +6,13 @@ Phase order mirrors SURVEY.md §3.2:
   h(X) on the extended coset (instruction-VM, one jitted program) -> x ->
   evaluations -> SHPLONK multiopen (two G1 witnesses).
 
-Device work: iNTT per column, MSM per commitment, the entire quotient
-evaluation.  Host work: per-row grand-product witnesses, transcript, and the
-multiopen polynomial division (small, sequential).
+All row-axis compute goes through a pluggable engine (kzg/engine.py):
+`DeviceEngine` (JAX/Pallas NTT + Pippenger MSM + device instruction-VM) for
+large domains, `NativeEngine` (C++ host engine) where XLA program setup would
+dominate (measured 731 s first-run for ONE n=2048 MSM program through the
+axon tunnel — NOTES_ROUND4.md).  Both engines produce identical proof bytes
+for the same rng.  Host work: transcript, grand-product label construction,
+and the multiopen polynomial division (small, sequential).
 """
 
 from __future__ import annotations
@@ -18,17 +22,15 @@ import random as _random
 import time
 from collections import Counter
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..field.device import get_device_field
 from ..field.params import BN254_FR
 from ..plonkish.assignment import run_synthesis
 from ..plonkish.column import Column, ColumnKind, Rotation
-from ..plonkish.evaluator import build_expr_batch_eval
 from ..plonkish.expression import Query
-from .expr_eval import batch_invert, eval_expr_rows
-from .keygen import ProvingKey, _horner, commit_coeffs, commit_coeffs_batch
+from .engine import select_engine
+from .expr_eval import eval_expr_rows
+from .keygen import ProvingKey, _horner
 from .shplonk import shplonk_open
 from .transcript import Blake2bWrite
 
@@ -46,13 +48,31 @@ def _phase(name, t0):
     return time.perf_counter()
 
 
-def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
+def _native_or_none():
+    from .. import native
+
+    return native if native.available() else None
+
+
+def create_proof(params, pk: ProvingKey, circuit, instances, rng=None, mesh=None) -> bytes:
+    """halo2 `create_proof` (reference src/circuits/utils.rs:40-48).
+
+    ``mesh``: a jax.sharding.Mesh routes every row-axis phase through the
+    distributed kernels in halo2_tpu/parallel (ShardedEngine) — same proof
+    bytes as single-chip for the same rng."""
     rng = rng or _random.Random()
     t = time.perf_counter()
     st = pk.vk.structure
     cs, k, n, u = st.cs, st.k, st.n, st.u
     domain = st.domain
-    dfr = get_device_field(BN254_FR)
+    if mesh is not None:
+        from .engine import ShardedEngine
+
+        eng = ShardedEngine(params, st, mesh)
+    else:
+        eng = select_engine(params, st)
+    if os.environ.get("HALO2_TPU_TIMING"):
+        print(f"  [prover] engine: {eng.name}", flush=True)
     transcript = Blake2bWrite()
     transcript.common_scalar(pk.vk.digest)
 
@@ -77,12 +97,9 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
             vals[r] = rng.randrange(P)
         advice_values.append(vals)
 
-    def to_coeffs(vals):
-        return domain.lagrange_to_coeff(dfr.encode(vals))
-
-    advice_coeffs = [to_coeffs(v) for v in advice_values]
+    advice_coeffs = [eng.to_coeffs(v) for v in advice_values]
     if advice_coeffs:
-        for pt in commit_coeffs_batch(params, advice_coeffs):
+        for pt in eng.commit_batch(advice_coeffs):
             transcript.write_point(pt)
 
     t = _phase("advice_commit", t)
@@ -125,11 +142,11 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
 
     lookup_perm_coeffs = []
     for ld in lookup_data:
-        ld["ap_coeffs"] = to_coeffs(ld["ap"])
-        ld["sp_coeffs"] = to_coeffs(ld["sp"])
+        ld["ap_coeffs"] = eng.to_coeffs(ld["ap"])
+        ld["sp_coeffs"] = eng.to_coeffs(ld["sp"])
         lookup_perm_coeffs += [ld["ap_coeffs"], ld["sp_coeffs"]]
     if lookup_perm_coeffs:
-        for pt in commit_coeffs_batch(params, lookup_perm_coeffs):
+        for pt in eng.commit_batch(lookup_perm_coeffs):
             transcript.write_point(pt)
 
     t = _phase("lookup_permute", t)
@@ -145,7 +162,7 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     omega_arr = np.array(omegas[:u], dtype=object)
     for cols in st.perm_chunks:
         # vectorized over rows: one object-array op per column instead of a
-        # per-row Python loop (round-2 hot spot, kzg/prover.py:147-194)
+        # per-row Python loop (round-2 hot spot)
         num_a = np.ones(u, dtype=object)
         den_a = np.ones(u, dtype=object)
         for ci, col in enumerate(cols):
@@ -155,21 +172,15 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
             num_a = num_a * ((v + lbl + gamma) % P) % P
             sig = np.array(pk.sigma_values[gi][:u], dtype=object)
             den_a = den_a * ((v + beta * sig + gamma) % P) % P
-        den_inv = batch_invert(list(den_a))
-        nums = list(num_a)
-        z = [0] * n
-        z[0] = carry
-        for r in range(u):
-            z[r + 1] = z[r] * nums[r] % P * den_inv[r] % P
-        carry = z[u]
-        for r in range(u + 1, n):
-            z[r] = rng.randrange(P)
+        zh = eng.grand_product_z(num_a, den_a, carry)
+        carry = zh[u]
+        z = zh[: u + 1] + [rng.randrange(P) for _ in range(n - u - 1)]
         perm_z_values.append(z)
         global_idx += len(cols)
 
-    perm_z_coeffs = [to_coeffs(z) for z in perm_z_values]
+    perm_z_coeffs = [eng.to_coeffs(z) for z in perm_z_values]
     if perm_z_coeffs:
-        for pt in commit_coeffs_batch(params, perm_z_coeffs):
+        for pt in eng.commit_batch(perm_z_coeffs):
             transcript.write_point(pt)
 
     # ------------------------------------------------ lookup grand products
@@ -177,29 +188,24 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     for ld in lookup_data:
         ap_a = np.array(ld["ap"][:u], dtype=object)
         sp_a = np.array(ld["sp"][:u], dtype=object)
-        dens = list((ap_a + beta) % P * ((sp_a + gamma) % P) % P)
-        den_inv = batch_invert(dens)
+        dens = (ap_a + beta) % P * ((sp_a + gamma) % P) % P
         a_a = np.array(ld["a"][:u], dtype=object)
         s_a = np.array(ld["s"][:u], dtype=object)
-        nums = list((a_a + beta) % P * ((s_a + gamma) % P) % P)
-        z = [0] * n
-        z[0] = 1
-        for r in range(u):
-            z[r + 1] = z[r] * nums[r] % P * den_inv[r] % P
-        for r in range(u + 1, n):
-            z[r] = rng.randrange(P)
+        nums = (a_a + beta) % P * ((s_a + gamma) % P) % P
+        zh = eng.grand_product_z(nums, dens, 1)
+        z = zh[: u + 1] + [rng.randrange(P) for _ in range(n - u - 1)]
         ld["z"] = z
-        ld["z_coeffs"] = to_coeffs(z)
+        ld["z_coeffs"] = eng.to_coeffs(z)
         lookup_z_coeffs.append(ld["z_coeffs"])
     if lookup_z_coeffs:
-        for pt in commit_coeffs_batch(params, lookup_z_coeffs):
+        for pt in eng.commit_batch(lookup_z_coeffs):
             transcript.write_point(pt)
 
     t = _phase("grand_products", t)
     # ------------------------------------------------------ vanishing random
     random_poly = [rng.randrange(P) for _ in range(n)]
-    random_coeffs = dfr.encode(random_poly)  # already coefficient form
-    transcript.write_point(commit_coeffs(params, random_coeffs))
+    random_coeffs = eng.coeffs_from_values(random_poly)  # already coefficient form
+    transcript.write_point(eng.commit_batch([random_coeffs])[0])
 
     t = _phase("random_poly", t)
     y = int(transcript.squeeze_challenge())
@@ -208,64 +214,61 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
     ext_n = domain.extended_n
     rot_scale = ext_n // n
 
-    def ext(coeffs):
-        return domain.coeff_to_extended(coeffs)
-
-    def enc_stack(arrs):
-        if not arrs:
-            return jnp.zeros((0, 16, ext_n), jnp.uint32)
-        return jnp.stack(arrs)
-
-    fixed_ext = [ext(pk.fixed_coeffs[i]) for i in range(len(fin.fixed))]
-    selector_ext = [
-        ext(pk.fixed_coeffs[len(fin.fixed) + i]) for i in range(len(fin.selectors))
+    fixed_ext = [
+        eng.coeff_to_extended(eng.pk_coeff(pk, "fixed", i))
+        for i in range(len(fin.fixed))
     ]
-    instance_coeffs = [to_coeffs(list(c)) for c in fin.instance]
+    selector_ext = [
+        eng.coeff_to_extended(eng.pk_coeff(pk, "fixed", len(fin.fixed) + i))
+        for i in range(len(fin.selectors))
+    ]
+    instance_coeffs = [eng.to_coeffs(list(c)) for c in fin.instance]
 
-    aux_ext = _aux_extended(st, domain, dfr, beta, gamma, theta, y)
+    aux_ext = _aux_extended(eng, st, beta, gamma, theta, y)
     for c, zc in enumerate(perm_z_coeffs):
-        aux_ext[st.aux.perm_z(c)] = ext(zc)
+        aux_ext[st.aux.perm_z(c)] = eng.coeff_to_extended(zc)
     for i, ld in enumerate(lookup_data):
-        aux_ext[st.aux.lookup_permuted_input(i)] = ext(ld["ap_coeffs"])
-        aux_ext[st.aux.lookup_permuted_table(i)] = ext(ld["sp_coeffs"])
-        aux_ext[st.aux.lookup_z(i)] = ext(ld["z_coeffs"])
+        aux_ext[st.aux.lookup_permuted_input(i)] = eng.coeff_to_extended(ld["ap_coeffs"])
+        aux_ext[st.aux.lookup_permuted_table(i)] = eng.coeff_to_extended(ld["sp_coeffs"])
+        aux_ext[st.aux.lookup_z(i)] = eng.coeff_to_extended(ld["z_coeffs"])
     for gi in range(len(perm_cols)):
-        aux_ext[st._sigma_aux_index(gi)] = ext(pk.sigma_coeffs[gi])
+        aux_ext[st._sigma_aux_index(gi)] = eng.coeff_to_extended(
+            eng.pk_coeff(pk, "sigma", gi)
+        )
 
     columns_ext = {
-        "advice": enc_stack([ext(c) for c in advice_coeffs]),
-        "fixed": enc_stack(fixed_ext),
-        "instance": enc_stack([ext(c) for c in instance_coeffs]),
-        "selector": enc_stack(selector_ext),
-        "aux": enc_stack([aux_ext[i] for i in range(st.num_aux_total)]),
+        "advice": [eng.coeff_to_extended(c) for c in advice_coeffs],
+        "fixed": fixed_ext,
+        "instance": [eng.coeff_to_extended(c) for c in instance_coeffs],
+        "selector": selector_ext,
+        "aux": [aux_ext[i] for i in range(st.num_aux_total)],
     }
 
     combined = _horner(st.quotient_exprs, _aux_query(st.aux.Y))
-    evaluator = build_expr_batch_eval(cs, dfr, [combined], rot_scale=rot_scale)
-    num_ext = evaluator(columns_ext)[0]  # (16, ext_n)
-    h_ext = dfr.mul(num_ext, domain.vanishing_inv_extended())
-    h_coeffs_full = domain.extended_to_coeff(h_ext)
+    num_ext = eng.quotient_eval(columns_ext, combined, rot_scale)
+    h_ext = eng.mul_ext(num_ext, eng.vanishing_inv_extended())
+    h_coeffs_full = eng.extended_to_coeff(h_ext)
 
     h_pieces = [
-        h_coeffs_full[:, i * n : (i + 1) * n] for i in range(ext_n // n)
+        eng.slice_coeffs(h_coeffs_full, i * n, (i + 1) * n) for i in range(ext_n // n)
     ]
-    for pt in commit_coeffs_batch(params, h_pieces):
+    for pt in eng.commit_batch(h_pieces):
         transcript.write_point(pt)
 
     t = _phase("quotient", t)
     x = int(transcript.squeeze_challenge())
 
     # ------------------------------------------------------------ evaluations
-    polys = {}  # label -> host coeff list
-
-    # batch every registered poly into ONE stacked decode: each device_get
-    # pays a full tunnel round trip (~28 ms measured), so per-poly decodes
-    # cost seconds at this poly count
+    # batch every registered poly into ONE decode: on the device engine each
+    # device_get pays a full tunnel round trip (~28 ms measured)
     reg_list = [(("advice", i), c) for i, c in enumerate(advice_coeffs)]
     reg_list += [
-        (("fixed", i), pk.fixed_coeffs[i]) for i in range(len(pk.fixed_values))
+        (("fixed", i), eng.pk_coeff(pk, "fixed", i))
+        for i in range(len(pk.fixed_values))
     ]  # includes selectors
-    reg_list += [(("sigma", i), pk.sigma_coeffs[i]) for i in range(len(perm_cols))]
+    reg_list += [
+        (("sigma", i), eng.pk_coeff(pk, "sigma", i)) for i in range(len(perm_cols))
+    ]
     reg_list += [(("perm_z", c), zc) for c, zc in enumerate(perm_z_coeffs)]
     for i, ld in enumerate(lookup_data):
         reg_list += [
@@ -274,18 +277,19 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
             (("lookup_z", i), ld["z_coeffs"]),
         ]
     reg_list += [(("h_piece", i), piece) for i, piece in enumerate(h_pieces)]
-    stacked = jnp.stack([arr for _, arr in reg_list])  # (M, 16, n)
-    dec = dfr.decode(jnp.moveaxis(stacked, 1, 0))  # (M, n) object ints
+    decoded = eng.decode_many([arr for _, arr in reg_list])
+
+    polys = {}  # label -> host coeff list
     n_h = len(h_pieces)
-    for (label, _), row in zip(reg_list[: len(reg_list) - n_h], dec):
-        polys[label] = [int(v) for v in row]
+    for (label, _), row in zip(reg_list[: len(reg_list) - n_h], decoded):
+        polys[label] = row
     polys[("random", 0)] = random_poly
     # folded h: h(X) = sum x^{n i} h_i(X)
     xn = pow(x, n, P)
     h_np = np.zeros(n, dtype=object)
     factor = 1
-    for row in dec[len(reg_list) - n_h :]:
-        h_np = (h_np + factor * row) % P
+    for row in decoded[len(reg_list) - n_h :]:
+        h_np = (h_np + factor * np.array(row, dtype=object)) % P
         factor = factor * xn % P
     polys[("h", 0)] = [int(v) for v in h_np]
 
@@ -293,9 +297,40 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
 
     queries, evals_order = proof_queries(st, x)
 
-    # one power table per distinct point; each eval is then a vectorized
-    # object-array dot (the sequential Horner loop was ~half the phase)
+    evals = _eval_queries(polys, queries)
+    for label, point in evals_order:
+        transcript.write_scalar(evals[(label, point)])
+
+    t = _phase("evaluations", t)
+    # --------------------------------------------------------------- multiopen
+    def commit_host_coeffs(int_coeffs):
+        return eng.commit_batch([eng.coeffs_from_values(int_coeffs)])[0]
+
+    shplonk_open(params, transcript, polys, queries, evals, commit=commit_host_coeffs)
+    t = _phase("multiopen", t)
+
+    return transcript.finalize()
+
+
+def _eval_queries(polys, queries):
+    """{(label, point): poly(point)} — native Horner when available, else
+    vectorized object-array dots with shared power tables."""
+    nat = _native_or_none()
+    evals = {}
+    if nat is not None:
+        packed = {}
+        by_label = {}
+        for label, point in queries:
+            by_label.setdefault(label, []).append(point)
+        for label, pts in by_label.items():
+            if label not in packed:
+                packed[label] = nat.pack_ints([int(v) for v in polys[label]])
+            vals = nat.poly_eval_fr(packed[label], pts)
+            for point, v in zip(pts, vals):
+                evals[(label, point)] = v
+        return evals
     pt_pows = {}
+    n = max(len(polys[label]) for label, _ in queries)
     for _, point in queries:
         if point not in pt_pows:
             pws = np.empty(n, dtype=object)
@@ -305,21 +340,12 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None) -> bytes:
                 acc = acc * point % P
             pt_pows[point] = pws
     poly_np = {}
-    evals = {}
     for label, point in queries:
         if label not in poly_np:
             poly_np[label] = np.array(polys[label], dtype=object)
-        prods = poly_np[label] * pt_pows[point] % P
+        prods = poly_np[label] * pt_pows[point][: len(poly_np[label])] % P
         evals[(label, point)] = int(prods.sum()) % P
-    for label, point in evals_order:
-        transcript.write_scalar(evals[(label, point)])
-
-    t = _phase("evaluations", t)
-    # --------------------------------------------------------------- multiopen
-    shplonk_open(params, transcript, polys, queries, evals)
-    t = _phase("multiopen", t)
-
-    return transcript.finalize()
+    return evals
 
 
 def _aux_query(idx, rot: int = 0):
@@ -340,9 +366,10 @@ def _perm_labels(st):
 _AUX_STATIC_CACHE = {}
 
 
-def _aux_extended(st, domain, dfr, beta, gamma, theta, y):
+def _aux_extended(eng, st, beta, gamma, theta, y):
     """Static aux tensors on the extended coset + challenge broadcasts."""
-    key = (st.k, st.u, domain.extended_k)
+    domain = st.domain
+    key = (eng.name, st.k, st.u, domain.extended_k)
     static = _AUX_STATIC_CACHE.get(key)
     ext_n = domain.extended_n
     if static is None:
@@ -358,28 +385,21 @@ def _aux_extended(st, domain, dfr, beta, gamma, theta, y):
         for r in range(st.u + 1, n):
             l_blind_vals[r] = 1
         static = {
-            "identity": dfr.encode(ident),
-            "l0": domain.coeff_to_extended(domain.lagrange_to_coeff(dfr.encode(l0_vals))),
-            "l_last": domain.coeff_to_extended(
-                domain.lagrange_to_coeff(dfr.encode(l_last_vals))
-            ),
-            "l_blind": domain.coeff_to_extended(
-                domain.lagrange_to_coeff(dfr.encode(l_blind_vals))
-            ),
+            "identity": eng.epoly_from_values(ident),
+            "l0": eng.coeff_to_extended(eng.to_coeffs(l0_vals)),
+            "l_last": eng.coeff_to_extended(eng.to_coeffs(l_last_vals)),
+            "l_blind": eng.coeff_to_extended(eng.to_coeffs(l_blind_vals)),
         }
         _AUX_STATIC_CACHE[key] = static
-
-    def bcast(v):
-        return jnp.broadcast_to(dfr.encode_scalar(v)[:, None], (16, ext_n))
 
     aux = {
         st.aux.IDENTITY: static["identity"],
         st.aux.L0: static["l0"],
         st.aux.L_LAST: static["l_last"],
         st.aux.L_BLIND: static["l_blind"],
-        st.aux.BETA: bcast(beta),
-        st.aux.GAMMA: bcast(gamma),
-        st.aux.THETA: bcast(theta),
-        st.aux.Y: bcast(y),
+        st.aux.BETA: eng.epoly_const(beta),
+        st.aux.GAMMA: eng.epoly_const(gamma),
+        st.aux.THETA: eng.epoly_const(theta),
+        st.aux.Y: eng.epoly_const(y),
     }
     return aux

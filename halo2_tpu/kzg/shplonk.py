@@ -91,9 +91,15 @@ def lagrange_interp(points, values):
 
 
 # ------------------------------------------------------------------- prover
-def shplonk_open(params, transcript, polys, queries, evals):
-    from .keygen import commit_coeffs
-    dfr = get_device_field(BN254_FR)
+def shplonk_open(params, transcript, polys, queries, evals, commit=None):
+    """``commit`` maps a host-int coefficient list to a G1 point; defaults to
+    the device commit path (the prover injects its engine's committer)."""
+    if commit is None:
+        def commit(int_coeffs):
+            from .keygen import commit_coeffs
+
+            dfr = get_device_field(BN254_FR)
+            return commit_coeffs(params, dfr.encode(int_coeffs))
 
     v = int(transcript.squeeze_challenge())
     points_of = {}
@@ -119,7 +125,7 @@ def shplonk_open(params, transcript, polys, queries, evals):
     h = poly_div_exact(f, [int(v) for v in poly_from_roots(T)])
     n = params.n
     h = (h + [0] * n)[:n]
-    transcript.write_point(commit_coeffs(params, dfr.encode(h)))
+    transcript.write_point(commit(h))
 
     u_pt = int(transcript.squeeze_challenge())
 
@@ -141,7 +147,7 @@ def shplonk_open(params, transcript, polys, queries, evals):
     L = poly_add_scaled(L, h, (-zt_u) % P)
     w = poly_div_exact(L, [(-u_pt) % P, 1])
     w = (w + [0] * n)[:n]
-    transcript.write_point(commit_coeffs(params, dfr.encode(w)))
+    transcript.write_point(commit(w))
 
 
 # ----------------------------------------------------------------- verifier

@@ -9,8 +9,6 @@ derives the expected h(x), and runs the SHPLONK pairing check.
 from __future__ import annotations
 
 from ..field.params import BN254_FR
-from ..plonkish.expression import Query
-from ..plonkish.column import Column, ColumnKind, Rotation
 from .expr_eval import eval_expr
 from .keygen import VerifyingKey, _horner
 from .queries import proof_queries

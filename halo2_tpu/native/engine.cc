@@ -1,0 +1,755 @@
+// halo2_tpu native host engine — C++ counterpart of the Rust crates the
+// reference leans on for sequential/host-side compute (halo2curves field +
+// curve arithmetic, halo2_proofs poly ops; reference src/circuits/utils.rs
+// pulls them in via create_proof, SURVEY.md §2c).  The TPU owns the
+// large-batch data-parallel path (Pallas MSM/NTT); this engine owns the
+// small-n / sequential tail where XLA program setup would dominate:
+// per-commit MSMs at small k, NTTs, batch inversion, grand-product
+// recurrences, Horner evaluations.
+//
+// Everything is BN254: Fr (scalar field) and Fq (base field of G1).
+// ABI: 256-bit elements as 4 little-endian u64 limbs, arrays contiguous
+// [elem0.l0, elem0.l1, ... elem0.l3, elem1.l0, ...].  Canonical (non-
+// Montgomery) representation at the boundary unless a _mont entry is used.
+//
+// Build: g++ -O3 -shared -fPIC (see native/__init__.py); no deps.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <thread>
+#include <vector>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+namespace {
+
+struct Fp4 {
+  u64 l[4];
+};
+
+static inline bool fp_is_zero(const Fp4 &a) {
+  return (a.l[0] | a.l[1] | a.l[2] | a.l[3]) == 0;
+}
+
+static inline bool fp_eq(const Fp4 &a, const Fp4 &b) {
+  return a.l[0] == b.l[0] && a.l[1] == b.l[1] && a.l[2] == b.l[2] &&
+         a.l[3] == b.l[3];
+}
+
+struct FieldCtx {
+  Fp4 p;    // modulus
+  u64 n0;   // -p^{-1} mod 2^64
+  Fp4 r2;   // R^2 mod p (R = 2^256)
+  Fp4 one;  // R mod p (Montgomery 1)
+};
+
+// ------------------------------------------------------------- constants
+// BN254 Fr = 0x30644e72e131a029b85045b68181585d2833e84879b9709143e1f593f0000001
+static const FieldCtx FR = {
+    {{0x43e1f593f0000001ULL, 0x2833e84879b97091ULL, 0xb85045b68181585dULL,
+      0x30644e72e131a029ULL}},
+    0xc2e1f593efffffffULL,
+    {{0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL, 0x8c49833d53bb8085ULL,
+      0x0216d0b17f4e44a5ULL}},
+    {{0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL, 0x666ea36f7879462eULL,
+      0x0e0a77c19a07df2fULL}},
+};
+
+// BN254 Fq = 0x30644e72e131a029b85045b68181585d97816a916871ca8d3c208c16d87cfd47
+static const FieldCtx FQ = {
+    {{0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL, 0xb85045b68181585dULL,
+      0x30644e72e131a029ULL}},
+    0x87d20782e4866389ULL,
+    {{0xf32cfc5b538afa89ULL, 0xb5e71911d44501fbULL, 0x47ab1eff0a417ff6ULL,
+      0x06d89f71cab8351fULL}},
+    {{0xd35d438dc58f0d9dULL, 0x0a78eb28f5c70b3dULL, 0x666ea36f7879462cULL,
+      0x0e0a77c19a07df2fULL}},
+};
+
+// ------------------------------------------------------- field arithmetic
+static inline void fp_add(const FieldCtx &F, const Fp4 &a, const Fp4 &b,
+                          Fp4 &out) {
+  u64 t[4];
+  u64 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] + b.l[i] + carry;
+    t[i] = (u64)cur;
+    carry = (u64)(cur >> 64);
+  }
+  // conditional subtract p (carry means t >= 2^256 > p, must subtract)
+  u64 s[4];
+  u64 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)t[i] - F.p.l[i] - borrow;
+    s[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  if (carry || !borrow)
+    memcpy(out.l, s, 32);
+  else
+    memcpy(out.l, t, 32);
+}
+
+static inline void fp_sub(const FieldCtx &F, const Fp4 &a, const Fp4 &b,
+                          Fp4 &out) {
+  u64 t[4];
+  u64 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] - b.l[i] - borrow;
+    t[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  if (borrow) {
+    u64 carry = 0;
+    for (int i = 0; i < 4; i++) {
+      u128 cur = (u128)t[i] + F.p.l[i] + carry;
+      t[i] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+  }
+  memcpy(out.l, t, 32);
+}
+
+static inline void fp_neg(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
+  if (fp_is_zero(a)) {
+    out = a;
+    return;
+  }
+  u64 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)F.p.l[i] - a.l[i] - borrow;
+    out.l[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+}
+
+static void mul_wide(const Fp4 &a, const Fp4 &b, u64 t[8]) {
+  memset(t, 0, 64);
+  for (int i = 0; i < 4; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 cur = (u128)a.l[i] * b.l[j] + t[i + j] + carry;
+      t[i + j] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+    t[i + 4] = carry;
+  }
+}
+
+static void mont_reduce(const FieldCtx &F, u64 t[8], Fp4 &out) {
+  for (int i = 0; i < 4; i++) {
+    u64 m = t[i] * F.n0;
+    u64 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 cur = (u128)m * F.p.l[j] + t[i + j] + carry;
+      t[i + j] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+    for (int k = i + 4; carry && k < 8; k++) {
+      u128 cur = (u128)t[k] + carry;
+      t[k] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+  }
+  // result in t[4..7]; 0 <= value < 2p, conditional subtract
+  u64 s[4];
+  u64 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)t[i + 4] - F.p.l[i] - borrow;
+    s[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  if (!borrow)
+    memcpy(out.l, s, 32);
+  else
+    memcpy(out.l, t + 4, 32);
+}
+
+static inline void fp_mul(const FieldCtx &F, const Fp4 &a, const Fp4 &b,
+                          Fp4 &out) {
+  u64 t[8];
+  mul_wide(a, b, t);
+  mont_reduce(F, t, out);
+}
+
+static inline void fp_sqr(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
+  fp_mul(F, a, a, out);
+}
+
+static inline void fp_from_mont(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
+  u64 t[8];
+  memset(t, 0, 64);
+  memcpy(t, a.l, 32);
+  mont_reduce(F, t, out);
+}
+
+static inline void fp_to_mont(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
+  fp_mul(F, a, F.r2, out);
+}
+
+// a^e (Montgomery in/out); e canonical 4-limb
+static void fp_pow(const FieldCtx &F, const Fp4 &a, const Fp4 &e, Fp4 &out) {
+  Fp4 acc = F.one;
+  Fp4 base = a;
+  for (int w = 0; w < 4; w++) {
+    u64 bits = e.l[w];
+    for (int b = 0; b < 64; b++) {
+      if (bits & 1) fp_mul(F, acc, base, acc);
+      fp_sqr(F, base, base);
+      bits >>= 1;
+    }
+  }
+  out = acc;
+}
+
+// Montgomery inverse via Fermat (a^(p-2)); inv(0) = 0
+static void fp_inv(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
+  Fp4 e = F.p;
+  // e = p - 2 (p is odd and > 2, no borrow beyond limb 0)
+  e.l[0] -= 2;
+  fp_pow(F, a, e, out);
+}
+
+// ------------------------------------------------------------- G1 points
+// Jacobian over Fq, Montgomery coords; inf flag explicit.
+struct G1 {
+  Fp4 X, Y, Z;
+  bool inf;
+};
+
+static void g1_dbl(G1 &r, const G1 &p) {
+  // dbl-2009-l (a=0); doubling a y=0 point -> infinity handled by Z=0 check
+  if (p.inf) {
+    r = p;
+    return;
+  }
+  const FieldCtx &F = FQ;
+  // r may alias p (acc = 2*acc in the Horner loop): compute every output
+  // into temps before the first write to r.
+  Fp4 A, B, C, D, E, Fv, t0, t1, x3, y3, z3;
+  fp_sqr(F, p.X, A);
+  fp_sqr(F, p.Y, B);
+  fp_sqr(F, B, C);
+  fp_add(F, p.X, B, t0);
+  fp_sqr(F, t0, t0);
+  fp_sub(F, t0, A, t0);
+  fp_sub(F, t0, C, t0);
+  fp_add(F, t0, t0, D);  // D = 2((X+B)^2 - A - C)
+  fp_add(F, A, A, E);
+  fp_add(F, E, A, E);  // E = 3A
+  fp_sqr(F, E, Fv);
+  fp_add(F, D, D, t0);
+  fp_sub(F, Fv, t0, x3);  // X3 = F - 2D
+  fp_sub(F, D, x3, t0);
+  fp_mul(F, E, t0, t0);
+  fp_add(F, C, C, t1);
+  fp_add(F, t1, t1, t1);
+  fp_add(F, t1, t1, t1);  // 8C
+  fp_sub(F, t0, t1, y3);
+  fp_mul(F, p.Y, p.Z, t0);
+  fp_add(F, t0, t0, z3);
+  r.X = x3;
+  r.Y = y3;
+  r.Z = z3;
+  r.inf = fp_is_zero(z3);
+}
+
+// mixed add r = p + (x2, y2) (affine, never infinity)
+static void g1_madd(G1 &r, const G1 &p, const Fp4 &x2, const Fp4 &y2) {
+  const FieldCtx &F = FQ;
+  if (p.inf) {
+    r.X = x2;
+    r.Y = y2;
+    r.Z = F.one;
+    r.inf = false;
+    return;
+  }
+  Fp4 Z2, U2, S2, H, HH, I, J, rr, V, t0, t1;
+  fp_sqr(F, p.Z, Z2);
+  fp_mul(F, x2, Z2, U2);
+  fp_mul(F, y2, p.Z, S2);
+  fp_mul(F, S2, Z2, S2);
+  fp_sub(F, U2, p.X, H);
+  fp_sub(F, S2, p.Y, rr);
+  if (fp_is_zero(H)) {
+    if (fp_is_zero(rr)) {
+      g1_dbl(r, p);
+      return;
+    }
+    r.inf = true;
+    return;
+  }
+  fp_add(F, rr, rr, rr);  // r = 2(S2 - Y1)
+  fp_sqr(F, H, HH);
+  fp_add(F, HH, HH, I);
+  fp_add(F, I, I, I);  // I = 4HH
+  fp_mul(F, H, I, J);
+  fp_mul(F, p.X, I, V);
+  fp_sqr(F, rr, t0);
+  fp_sub(F, t0, J, t0);
+  fp_add(F, V, V, t1);
+  fp_sub(F, t0, t1, r.X);
+  fp_sub(F, V, r.X, t0);
+  fp_mul(F, rr, t0, t0);
+  fp_mul(F, p.Y, J, t1);
+  fp_add(F, t1, t1, t1);
+  fp_sub(F, t0, t1, r.Y);
+  fp_add(F, p.Z, H, t0);
+  fp_sqr(F, t0, t0);
+  fp_sub(F, t0, Z2, t0);
+  fp_sub(F, t0, HH, r.Z);
+  r.inf = fp_is_zero(r.Z);
+}
+
+// full Jacobian add r = p + q
+static void g1_add(G1 &r, const G1 &p, const G1 &q) {
+  const FieldCtx &F = FQ;
+  if (p.inf) {
+    r = q;
+    return;
+  }
+  if (q.inf) {
+    r = p;
+    return;
+  }
+  Fp4 Z1Z1, Z2Z2, U1, U2, S1, S2, H, rr, I, J, V, t0, t1;
+  fp_sqr(F, p.Z, Z1Z1);
+  fp_sqr(F, q.Z, Z2Z2);
+  fp_mul(F, p.X, Z2Z2, U1);
+  fp_mul(F, q.X, Z1Z1, U2);
+  fp_mul(F, p.Y, q.Z, S1);
+  fp_mul(F, S1, Z2Z2, S1);
+  fp_mul(F, q.Y, p.Z, S2);
+  fp_mul(F, S2, Z1Z1, S2);
+  fp_sub(F, U2, U1, H);
+  fp_sub(F, S2, S1, rr);
+  if (fp_is_zero(H)) {
+    if (fp_is_zero(rr)) {
+      g1_dbl(r, p);
+      return;
+    }
+    r.inf = true;
+    return;
+  }
+  fp_sqr(F, H, t0);
+  fp_add(F, t0, t0, I);
+  fp_add(F, I, I, I);  // I = 4H^2
+  fp_mul(F, H, I, J);
+  fp_add(F, rr, rr, rr);  // r = 2(S2-S1)
+  fp_mul(F, U1, I, V);
+  fp_sqr(F, rr, t0);
+  fp_sub(F, t0, J, t0);
+  fp_add(F, V, V, t1);
+  fp_sub(F, t0, t1, r.X);
+  fp_sub(F, V, r.X, t0);
+  fp_mul(F, rr, t0, t0);
+  fp_mul(F, S1, J, t1);
+  fp_add(F, t1, t1, t1);
+  fp_sub(F, t0, t1, r.Y);
+  fp_mul(F, p.Z, q.Z, t0);
+  fp_add(F, t0, t0, t0);
+  fp_mul(F, t0, H, r.Z);
+  r.inf = fp_is_zero(r.Z);
+}
+
+static int g_num_threads = 0;  // 0 = auto
+
+static int num_threads() {
+  if (g_num_threads > 0) return g_num_threads;
+  unsigned h = std::thread::hardware_concurrency();
+  return h ? (int)h : 1;
+}
+
+// --------------------------------------------------------------- Pippenger
+// One window's bucket accumulation + suffix combine.
+static void msm_window(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
+                       size_t n, int c, int w, G1 &out) {
+  const u64 mask = ((u64)1 << c) - 1;
+  const int B = 1 << c;
+  std::vector<G1> buckets(B - 1);
+  for (auto &b : buckets) b.inf = true;
+  const int bit0 = c * w;
+  for (size_t e = 0; e < n; e++) {
+    const int word = bit0 >> 6, off = bit0 & 63;
+    u64 d = scalars[4 * e + word] >> off;
+    if (off + c > 64 && word + 1 < 4) d |= scalars[4 * e + word + 1] << (64 - off);
+    d &= mask;
+    if (d == 0) continue;
+    if (fp_is_zero(px_m[e]) && fp_is_zero(py_m[e])) continue;  // infinity
+    g1_madd(buckets[d - 1], buckets[d - 1], px_m[e], py_m[e]);
+  }
+  // sum_d d * bucket[d] via running suffix sums
+  G1 run, tot;
+  run.inf = true;
+  tot.inf = true;
+  for (int d = B - 2; d >= 0; d--) {
+    g1_add(run, run, buckets[d]);
+    g1_add(tot, tot, run);
+  }
+  out = tot;
+}
+
+static void msm_impl(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
+                     size_t n, G1 &result) {
+  int c;
+  if (n < 32)
+    c = 3;
+  else {
+    int lg = 0;
+    while (((size_t)1 << lg) < n) lg++;
+    c = lg - 3;
+    if (c < 4) c = 4;
+    if (c > 16) c = 16;
+  }
+  const int W = (254 + c - 1) / c;
+  std::vector<G1> wins(W);
+  int nt = num_threads();
+  if (nt > W) nt = W;
+  if (nt <= 1 || n < 256) {
+    for (int w = 0; w < W; w++) msm_window(px_m, py_m, scalars, n, c, w, wins[w]);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) {
+      threads.emplace_back([&, t]() {
+        for (int w = t; w < W; w += nt)
+          msm_window(px_m, py_m, scalars, n, c, w, wins[w]);
+      });
+    }
+    for (auto &th : threads) th.join();
+  }
+  // Horner combine: acc = sum 2^{cw} wins[w]
+  G1 acc;
+  acc.inf = true;
+  for (int w = W - 1; w >= 0; w--) {
+    for (int b = 0; b < c; b++) g1_dbl(acc, acc);
+    g1_add(acc, acc, wins[w]);
+  }
+  result = acc;
+}
+
+// --------------------------------------------------------------- NTT (Fr)
+static void bit_reverse(Fp4 *a, size_t n) {
+  int bits = 0;
+  while (((size_t)1 << bits) < n) bits++;
+  for (size_t i = 0; i < n; i++) {
+    size_t r = 0;
+    for (int b = 0; b < bits; b++) r |= ((i >> b) & 1) << (bits - 1 - b);
+    if (r > i) {
+      Fp4 t = a[i];
+      a[i] = a[r];
+      a[r] = t;
+    }
+  }
+}
+
+// BN254 Fr root of unity: generator 7, two-adicity 28.
+static void root_of_unity(size_t n, bool inverse, Fp4 &omega_m) {
+  const FieldCtx &F = FR;
+  // omega = 7^((p-1)/2^28) ^ (2^28 / n); exponent e = (p-1)/n
+  // compute e = (p-1)/n as 4-limb: p-1 then shift right log2(n)
+  Fp4 e = F.p;
+  e.l[0] -= 1;
+  int lg = 0;
+  while (((size_t)1 << lg) < n) lg++;
+  for (int s = 0; s < lg; s++) {
+    for (int i = 0; i < 3; i++) e.l[i] = (e.l[i] >> 1) | (e.l[i + 1] << 63);
+    e.l[3] >>= 1;
+  }
+  Fp4 g = {{7, 0, 0, 0}};
+  fp_to_mont(F, g, g);
+  fp_pow(F, g, e, omega_m);
+  if (inverse) fp_inv(F, omega_m, omega_m);
+}
+
+// in-place NTT over Montgomery values, natural order in/out (DIT after
+// bit-reversal) — identical butterfly schedule to poly/domain.py's _ntt_raw
+static void ntt_mont(Fp4 *a, size_t n, bool inverse) {
+  const FieldCtx &F = FR;
+  Fp4 omega;
+  root_of_unity(n, inverse, omega);
+  bit_reverse(a, n);
+  for (size_t m = 1; m < n; m <<= 1) {
+    // w_stage = omega^(n/(2m))
+    Fp4 ws = omega;
+    for (size_t s = n / (2 * m); s > 1; s >>= 1) fp_sqr(F, ws, ws);
+    std::vector<Fp4> tw(m);
+    tw[0] = F.one;
+    for (size_t j = 1; j < m; j++) fp_mul(F, tw[j - 1], ws, tw[j]);
+    for (size_t g = 0; g < n; g += 2 * m) {
+      for (size_t j = 0; j < m; j++) {
+        Fp4 lo = a[g + j], hi;
+        fp_mul(F, a[g + m + j], tw[j], hi);
+        fp_add(F, lo, hi, a[g + j]);
+        fp_sub(F, lo, hi, a[g + m + j]);
+      }
+    }
+  }
+  if (inverse) {
+    // multiply by n^{-1}
+    Fp4 ninv = {{(u64)n, 0, 0, 0}};
+    fp_to_mont(F, ninv, ninv);
+    fp_inv(F, ninv, ninv);
+    for (size_t i = 0; i < n; i++) fp_mul(F, a[i], ninv, a[i]);
+  }
+}
+
+static const FieldCtx &ctx_of(int field) { return field == 0 ? FR : FQ; }
+
+}  // namespace
+
+// ====================================================================== ABI
+extern "C" {
+
+void h2t_set_threads(int n) { g_num_threads = n; }
+
+// field: 0 = Fr, 1 = Fq.  In-place canonical <-> Montgomery conversions.
+void h2t_to_mont(int field, u64 *a, size_t n) {
+  const FieldCtx &F = ctx_of(field);
+  Fp4 *v = (Fp4 *)a;
+  for (size_t i = 0; i < n; i++) fp_to_mont(F, v[i], v[i]);
+}
+
+void h2t_from_mont(int field, u64 *a, size_t n) {
+  const FieldCtx &F = ctx_of(field);
+  Fp4 *v = (Fp4 *)a;
+  for (size_t i = 0; i < n; i++) fp_from_mont(F, v[i], v[i]);
+}
+
+// elementwise c[i] = a[i] * b[i] (canonical in/out)
+void h2t_mul(int field, const u64 *a, const u64 *b, u64 *c, size_t n) {
+  const FieldCtx &F = ctx_of(field);
+  const Fp4 *va = (const Fp4 *)a, *vb = (const Fp4 *)b;
+  Fp4 *vc = (Fp4 *)c;
+  for (size_t i = 0; i < n; i++) {
+    Fp4 am, bm;
+    fp_to_mont(F, va[i], am);
+    fp_to_mont(F, vb[i], bm);
+    fp_mul(F, am, bm, vc[i]);
+    fp_from_mont(F, vc[i], vc[i]);
+  }
+}
+
+// MSM over BN254 G1.  px/py: n affine coords, CANONICAL, (0,0) = infinity;
+// scalars canonical Fr.  out: 8 u64 = affine (x, y) canonical, (0,0) = inf.
+// Returns 0 on success.
+int h2t_msm_g1(const u64 *px, const u64 *py, const u64 *scalars, size_t n,
+               u64 *out) {
+  std::vector<Fp4> pxm(n), pym(n);
+  const Fp4 *vx = (const Fp4 *)px, *vy = (const Fp4 *)py;
+  for (size_t i = 0; i < n; i++) {
+    if (fp_is_zero(vx[i]) && fp_is_zero(vy[i])) {
+      memset(pxm[i].l, 0, 32);
+      memset(pym[i].l, 0, 32);
+    } else {
+      fp_to_mont(FQ, vx[i], pxm[i]);
+      fp_to_mont(FQ, vy[i], pym[i]);
+    }
+  }
+  G1 r;
+  msm_impl(pxm.data(), pym.data(), scalars, n, r);
+  Fp4 ox = {{0, 0, 0, 0}}, oy = {{0, 0, 0, 0}};
+  if (!r.inf && !fp_is_zero(r.Z)) {
+    Fp4 zi, zi2, zi3;
+    fp_inv(FQ, r.Z, zi);
+    fp_sqr(FQ, zi, zi2);
+    fp_mul(FQ, zi2, zi, zi3);
+    fp_mul(FQ, r.X, zi2, ox);
+    fp_mul(FQ, r.Y, zi3, oy);
+    fp_from_mont(FQ, ox, ox);
+    fp_from_mont(FQ, oy, oy);
+  }
+  memcpy(out, ox.l, 32);
+  memcpy(out + 4, oy.l, 32);
+  return 0;
+}
+
+// Same MSM but px/py given in MONTGOMERY form (skips the conversion — the
+// Python side holds SRS coordinates Montgomery-encoded already).
+int h2t_msm_g1_mont(const u64 *px_m, const u64 *py_m, const u64 *scalars,
+                    size_t n, u64 *out) {
+  G1 r;
+  msm_impl((const Fp4 *)px_m, (const Fp4 *)py_m, scalars, n, r);
+  Fp4 ox = {{0, 0, 0, 0}}, oy = {{0, 0, 0, 0}};
+  if (!r.inf && !fp_is_zero(r.Z)) {
+    Fp4 zi, zi2, zi3;
+    fp_inv(FQ, r.Z, zi);
+    fp_sqr(FQ, zi, zi2);
+    fp_mul(FQ, zi2, zi, zi3);
+    fp_mul(FQ, r.X, zi2, ox);
+    fp_mul(FQ, r.Y, zi3, oy);
+    fp_from_mont(FQ, ox, ox);
+    fp_from_mont(FQ, oy, oy);
+  }
+  memcpy(out, ox.l, 32);
+  memcpy(out + 4, oy.l, 32);
+  return 0;
+}
+
+// Batched MSM: nb scalar vectors over the SAME points (the per-phase commit
+// shape: many polys, one SRS).  scalars: nb * n elements; out: nb * 8 u64.
+int h2t_msm_g1_mont_batch(const u64 *px_m, const u64 *py_m, const u64 *scalars,
+                          size_t n, size_t nb, u64 *out) {
+  int nt = num_threads();
+  if ((size_t)nt > nb) nt = (int)nb;
+  auto run = [&](size_t b) {
+    h2t_msm_g1_mont(px_m, py_m, scalars + 4 * n * b, n, out + 8 * b);
+  };
+  if (nt <= 1) {
+    for (size_t b = 0; b < nb; b++) run(b);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++)
+      threads.emplace_back([&, t]() {
+        for (size_t b = t; b < nb; b += nt) run(b);
+      });
+    for (auto &th : threads) th.join();
+  }
+  return 0;
+}
+
+// In-place radix-2 NTT over Fr, canonical in/out, natural order both ways;
+// matches poly/domain.py's _ntt_fn butterfly schedule bit-exactly.
+void h2t_ntt_fr(u64 *a, size_t n, int inverse) {
+  Fp4 *v = (Fp4 *)a;
+  for (size_t i = 0; i < n; i++) fp_to_mont(FR, v[i], v[i]);
+  ntt_mont(v, n, inverse != 0);
+  for (size_t i = 0; i < n; i++) fp_from_mont(FR, v[i], v[i]);
+}
+
+// a[i] *= g^i (canonical).  The coset scale of coeff_to_extended.
+void h2t_scale_powers_fr(u64 *a, size_t n, const u64 *g) {
+  Fp4 gm, acc = FR.one;
+  fp_to_mont(FR, *(const Fp4 *)g, gm);
+  Fp4 *v = (Fp4 *)a;
+  for (size_t i = 0; i < n; i++) {
+    Fp4 am;
+    fp_to_mont(FR, v[i], am);
+    fp_mul(FR, am, acc, v[i]);
+    fp_from_mont(FR, v[i], v[i]);
+    fp_mul(FR, acc, gm, acc);
+  }
+}
+
+// In-place batched inversion over Fr (canonical); inv(0) = 0.
+void h2t_batch_inv_fr(u64 *a, size_t n) {
+  Fp4 *v = (Fp4 *)a;
+  std::vector<Fp4> pref(n);
+  Fp4 run = FR.one;
+  std::vector<Fp4> vm(n);
+  for (size_t i = 0; i < n; i++) {
+    fp_to_mont(FR, v[i], vm[i]);
+    pref[i] = run;
+    if (!fp_is_zero(vm[i])) fp_mul(FR, run, vm[i], run);
+  }
+  Fp4 inv;
+  fp_inv(FR, run, inv);
+  for (size_t i = n; i-- > 0;) {
+    if (fp_is_zero(vm[i])) {
+      memset(v[i].l, 0, 32);
+      continue;
+    }
+    Fp4 r;
+    fp_mul(FR, inv, pref[i], r);
+    fp_mul(FR, inv, vm[i], inv);
+    fp_from_mont(FR, r, v[i]);
+  }
+}
+
+// Grand-product recurrence: z[0] = carry_in, z[r+1] = z[r]*num[r]/den[r],
+// r = 0..u-1.  num/den/carry canonical; writes u+1 canonical elements.
+void h2t_grand_product_fr(const u64 *num, const u64 *den, size_t u,
+                          const u64 *carry_in, u64 *z_out) {
+  std::vector<Fp4> dinv(u);
+  memcpy(dinv.data(), den, 32 * u);
+  h2t_batch_inv_fr((u64 *)dinv.data(), u);
+  const Fp4 *vn = (const Fp4 *)num;
+  Fp4 *vz = (Fp4 *)z_out;
+  Fp4 z;
+  fp_to_mont(FR, *(const Fp4 *)carry_in, z);
+  fp_from_mont(FR, z, vz[0]);
+  for (size_t r = 0; r < u; r++) {
+    Fp4 nm, dm;
+    fp_to_mont(FR, vn[r], nm);
+    fp_to_mont(FR, dinv[r], dm);
+    fp_mul(FR, z, nm, z);
+    fp_mul(FR, z, dm, z);
+    fp_from_mont(FR, z, vz[r + 1]);
+  }
+}
+
+// Expression-VM evaluation over Fr (the quotient-phase instruction program,
+// plonkish/evaluator.Program): base holds nbase row-vectors of n canonical
+// values (queries pre-rotated by the caller, then constants); instrs is
+// (ni, 4) int32 [op, src1, src2, dst] with ops 0=add, 1=mul, 2=neg and slot
+// indices into the concatenated [base | instruction-results] buffer.
+// out receives nout rows gathered from out_slots.  Threads split the row
+// axis; every instruction is elementwise so chunks never communicate.
+static void expr_eval_chunk(const u64 *base, size_t nbase, size_t n, size_t lo,
+                            size_t hi, const int32_t *instrs, size_t ni,
+                            const int32_t *out_slots, size_t nout, u64 *out) {
+  const size_t w = hi - lo;
+  std::vector<Fp4> buf((nbase + ni) * w);
+  const Fp4 *vb = (const Fp4 *)base;
+  for (size_t b = 0; b < nbase; b++)
+    for (size_t j = 0; j < w; j++)
+      fp_to_mont(FR, vb[b * n + lo + j], buf[b * w + j]);
+  for (size_t i = 0; i < ni; i++) {
+    const int32_t op = instrs[4 * i], s1 = instrs[4 * i + 1],
+                  s2 = instrs[4 * i + 2], dst = instrs[4 * i + 3];
+    const Fp4 *a = &buf[(size_t)s1 * w];
+    const Fp4 *b = &buf[(size_t)s2 * w];
+    Fp4 *d = &buf[(size_t)dst * w];
+    if (op == 0)
+      for (size_t j = 0; j < w; j++) fp_add(FR, a[j], b[j], d[j]);
+    else if (op == 1)
+      for (size_t j = 0; j < w; j++) fp_mul(FR, a[j], b[j], d[j]);
+    else
+      for (size_t j = 0; j < w; j++) fp_neg(FR, a[j], d[j]);
+  }
+  Fp4 *vo = (Fp4 *)out;
+  for (size_t o = 0; o < nout; o++)
+    for (size_t j = 0; j < w; j++)
+      fp_from_mont(FR, buf[(size_t)out_slots[o] * w + j], vo[o * n + lo + j]);
+}
+
+void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
+                      const int32_t *instrs, size_t ni,
+                      const int32_t *out_slots, size_t nout, u64 *out) {
+  int nt = num_threads();
+  if ((size_t)nt * 256 > n) nt = (int)(n / 256);
+  if (nt <= 1) {
+    expr_eval_chunk(base, nbase, n, 0, n, instrs, ni, out_slots, nout, out);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    threads.emplace_back([=]() {
+      expr_eval_chunk(base, nbase, n, lo, hi, instrs, ni, out_slots, nout, out);
+    });
+  }
+  for (auto &th : threads) th.join();
+}
+
+// Horner evaluation: out[j] = poly(x[j]) for q points (canonical in/out).
+void h2t_poly_eval_fr(const u64 *poly, size_t n, const u64 *x, size_t q,
+                      u64 *out) {
+  const Fp4 *vp = (const Fp4 *)poly;
+  for (size_t j = 0; j < q; j++) {
+    Fp4 xm, acc = {{0, 0, 0, 0}};
+    fp_to_mont(FR, ((const Fp4 *)x)[j], xm);
+    for (size_t i = n; i-- > 0;) {
+      Fp4 cm;
+      fp_to_mont(FR, vp[i], cm);
+      fp_mul(FR, acc, xm, acc);
+      fp_add(FR, acc, cm, acc);
+    }
+    fp_from_mont(FR, acc, ((Fp4 *)out)[j]);
+  }
+}
+
+}  // extern "C"

@@ -13,7 +13,7 @@ producing the same absolute rows, which the reference's tests observe directly
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Optional
 
 from .column import Column, ColumnKind, Selector
 from .cs import ConstraintSystem
@@ -114,7 +114,9 @@ class Region:
         self._store(column, offset, v)
         return AssignedCell(Cell(self._d.index, column, offset), v, self._a)
 
-    def assign_advice_from_constant(self, annotation, column: Column, offset: int, constant) -> AssignedCell:
+    def assign_advice_from_constant(
+        self, annotation, column: Column, offset: int, constant
+    ) -> AssignedCell:
         if not self._a.cs.constants_columns:
             raise SynthesisError("no enable_constant fixed column available")
         cell = self.assign_advice(annotation, column, offset, Value.known(constant))

@@ -15,12 +15,11 @@ import functools
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..jitutil import tuned_jit
 
-from ..field.device import DeviceField, get_device_field
+from ..field.device import get_device_field
 from ..field.params import FieldSpec
 
 
@@ -192,14 +191,20 @@ class EvaluationDomain:
 
     # ------------------------------------------------------- vanishing helpers
     @functools.lru_cache(maxsize=None)
-    def vanishing_inv_extended(self):
-        """1 / (X^n - 1) evaluated on the extended coset (host precompute)."""
+    def vanishing_inv_extended_ints(self) -> tuple:
+        """1 / (X^n - 1) on the extended coset, host ints (shared by the
+        device and native prover engines)."""
         p = self.spec.p
         out = []
         for i in range(self.extended_n):
             x = self.g_coset * pow(self.extended_omega, i, p) % p
             out.append(pow(pow(x, self.n, p) - 1, -1, p))
-        return self.df.encode(out)
+        return tuple(out)
+
+    @functools.lru_cache(maxsize=None)
+    def vanishing_inv_extended(self):
+        """1 / (X^n - 1) evaluated on the extended coset (device encode)."""
+        return self.df.encode(list(self.vanishing_inv_extended_ints()))
 
     # host-side scalar helpers (verifier)
     def l_i(self, i: int, x: int) -> int:

@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field.params import FieldSpec
 from ..field.pallas_mul import (
     L,
-    U32,
     TILE,
     mont_consts,
     mont_in_specs,

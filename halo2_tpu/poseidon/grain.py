@@ -113,7 +113,10 @@ def _generate_mds(grain: Grain, t: int, select: int):
 
 def _invert_matrix(m, p):
     t = len(m)
-    aug = [[m[i][j] % p for j in range(t)] + [1 if i == j else 0 for j in range(t)] for i in range(t)]
+    aug = [
+        [m[i][j] % p for j in range(t)] + [1 if i == j else 0 for j in range(t)]
+        for i in range(t)
+    ]
     for col in range(t):
         piv = next(r for r in range(col, t) if aug[r][col] % p != 0)
         aug[col], aug[piv] = aug[piv], aug[col]

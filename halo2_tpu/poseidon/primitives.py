@@ -15,7 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..field.device import DeviceField, get_device_field
 from ..field.host import PrimeField
@@ -94,7 +93,10 @@ def permute(state: list, spec: Spec, mds, round_constants):
     r_p = spec.partial_rounds()
 
     def apply_mds(st):
-        return [sum((mds[i][j] * st[j] for j in range(width)), start=type(st[0]).zero()) for i in range(width)]
+        return [
+            sum((mds[i][j] * st[j] for j in range(width)), start=type(st[0]).zero())
+            for i in range(width)
+        ]
 
     def full_round(st, rcs):
         return apply_mds([spec.sbox(w + rc) for w, rc in zip(st, rcs)])

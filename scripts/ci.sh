@@ -11,6 +11,9 @@ cd "$(dirname "$0")/.."
 echo "== stage 0: byte-compile =="
 python -m compileall -q halo2_tpu tests bench.py __graft_entry__.py
 
+echo "== stage 0.5: lint/format (cargo-fmt analog; ruff unavailable in image) =="
+python scripts/lint.py
+
 echo "== stage 1: fast test tier =="
 python -m pytest tests/ -x -q
 

@@ -89,7 +89,6 @@ def main() -> dict:
         )
         pk = keygen_cached(params, circuit, k, Fr, cache)
     keygen_time = time.perf_counter() - t0
-    vk_time = pk_time = keygen_time / 2
 
     PHASE_TIMINGS.clear()
     prof = (
@@ -116,8 +115,10 @@ def main() -> dict:
     bad_public[2] = bad_public[2] + Fr.from_u64(1)
     assert not verify_proof(params.verifier_params(), pk.vk, proof, [bad_public])
 
-    print(f"Time to generate vk {vk_time:.3f}s")
-    print(f"Time to generate pk {pk_time:.3f}s")
+    # keygen here builds vk+pk in one fused pass (kzg/keygen.keygen shares
+    # the synthesis/commitment work halo2 splits across keygen_vk/keygen_pk,
+    # reference src/circuits/utils.rs:30-36), so one honest combined line:
+    print(f"Time to generate vk+pk (fused keygen) {keygen_time:.3f}s")
     print(f"Prover Time {proof_time:.3f}s")
     print(f"Verifier Time {verify_time:.3f}s")
     summary = {

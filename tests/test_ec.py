@@ -3,7 +3,6 @@
 import random
 
 import jax.numpy as jnp
-import numpy as np
 
 from halo2_tpu.ec import host
 from halo2_tpu.ec.device import (
@@ -16,7 +15,7 @@ from halo2_tpu.ec.device import (
     jac_to_affine,
     msm,
 )
-from halo2_tpu.field import BN254_FR, Fr, get_device_field
+from halo2_tpu.field import BN254_FR, get_device_field
 
 
 def _host_points(n, seed=0):
@@ -81,6 +80,27 @@ def test_msm_vs_host():
     exps = [rng.randrange(1, host.R) for _ in range(n)]
     scalars = [rng.randrange(host.R) for _ in range(n)]
     # points a_i * G; expected = (sum s_i a_i) G
+    pts = [host.ec_mul(host.G1, a) for a in exps]
+    expect_scalar = sum(s * a for s, a in zip(scalars, exps)) % host.R
+    expect = host.g1_to_ints(host.ec_mul(host.G1, expect_scalar))
+
+    xs, ys = _to_device_affine(pts)
+    dfr = get_device_field(BN254_FR)
+    sc = dfr.encode(scalars, to_mont=False)
+    out = msm(xs, ys, sc)
+    ox, oy = jac_to_affine(out)
+    d = df()
+    got = (int(d.decode(ox[:, None])[0]), int(d.decode(oy[:, None])[0]))
+    assert got == expect
+
+
+def test_msm_non_pow2_n():
+    # n = 33: not a multiple of 16, exercises the _chunkable_n padding path
+    # (ADVICE round-3: the chunked schedule used to require 16 | n)
+    n = 33
+    rng = random.Random(5)
+    exps = [rng.randrange(1, host.R) for _ in range(n)]
+    scalars = [rng.randrange(host.R) for _ in range(n)]
     pts = [host.ec_mul(host.G1, a) for a in exps]
     expect_scalar = sum(s * a for s, a in zip(scalars, exps)) % host.R
     expect = host.g1_to_ints(host.ec_mul(host.G1, expect_scalar))

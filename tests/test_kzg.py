@@ -3,7 +3,6 @@ src/circuits/merkle_sum_tree.rs:346-358) plus tamper rejection."""
 
 import random
 
-import pytest
 
 from halo2_tpu.circuits.hash_v1 import Hash1Circuit
 from halo2_tpu.circuits.merkle_sum_tree import (

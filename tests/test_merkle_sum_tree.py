@@ -5,7 +5,6 @@ non-binary index, swapped index, liabilities >= assets.
 (test_full_prover lives in tests/test_kzg.py once the KZG backend lands.)
 """
 
-import pytest
 
 from halo2_tpu.circuits.merkle_sum_tree import (
     MerkleSumTreeCircuit,

@@ -7,8 +7,6 @@ path on CPU.
 
 import random
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -14,8 +14,6 @@ import halo2_tpu.ec.pallas_jac as pj
 import halo2_tpu.field.pallas_mul as pm
 from halo2_tpu.ec import device as ecd
 from halo2_tpu.ec import host as ech
-from halo2_tpu.field.device import get_device_field
-from halo2_tpu.field.params import BN254_FQ
 
 
 @pytest.fixture(autouse=True)

@@ -7,7 +7,6 @@ against the reference's semantics by the other test files).
 
 import random
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -31,7 +31,8 @@ class _IntGrain:
         self.p = p
         self.n_bits = n_bits
         seed = 0
-        for value, width in ((1, 2), (0, 4), (n_bits, 12), (t, 12), (r_f, 10), (r_p, 10), ((1 << 30) - 1, 30)):
+        widths = ((1, 2), (0, 4), (n_bits, 12), (t, 12), (r_f, 10), (r_p, 10), ((1 << 30) - 1, 30))
+        for value, width in widths:
             seed = (seed << width) | value
         assert seed.bit_length() <= 80
         self.s = seed
