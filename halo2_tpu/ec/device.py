@@ -46,6 +46,28 @@ def jac_infinity(batch=()):
     return jac(d.zeros(batch), d.one_mont(batch), d.zeros(batch))
 
 
+def pvary_tree(x, axes):
+    """Mark a jac pytree (or array pytree) device-varying over mesh axes.
+
+    Loop carries initialized from constants (jac_infinity, zero suffix
+    arrays) start replicated; under shard_map with the vma soundness check ON
+    they must be declared varying before entering a fori_loop whose body
+    mixes in sharded data (round-3 VERDICT item 7 — check_vma now stays
+    enabled on every shard_map site)."""
+    if not axes:
+        return x
+
+    def pv(a):
+        try:
+            cur = jax.typeof(a).vma
+        except Exception:
+            cur = frozenset()
+        need = tuple(ax for ax in axes if ax not in cur)
+        return jax.lax.pvary(a, need) if need else a
+
+    return jax.tree_util.tree_map(pv, x)
+
+
 def jac_from_affine(x, y):
     """x, y: (16, *B) Montgomery; (0,0) treated as infinity."""
     d = df()
@@ -303,7 +325,7 @@ def _tree_sum(terms):
     return {k: v[..., 0] for k, v in terms.items()}
 
 
-def _excl_suffix_scan(pts, Q: int = 64):
+def _excl_suffix_scan(pts, Q: int = 64, vary_axes=()):
     """Exclusive suffix sums over the last axis (power-of-2 length C):
     out[..., i] = sum_{j > i} pts[..., j].  Hierarchical: a ``fori`` running
     suffix within groups of Q (fixed shape) + a recursive scan of the group
@@ -311,9 +333,11 @@ def _excl_suffix_scan(pts, Q: int = 64):
     C = pts["x"].shape[-1]
     batch = pts["x"].shape[1:]
     if C == 1:
-        return jac_infinity(batch)
+        return pvary_tree(jac_infinity(batch), vary_axes)
     if C <= Q:
-        sfx0 = {k: jnp.zeros((L,) + batch[:-1] + (C,), U32) for k in pts}
+        sfx0 = pvary_tree(
+            {k: jnp.zeros((L,) + batch[:-1] + (C,), U32) for k in pts}, vary_axes
+        )
 
         def body(r, carry):
             acc, sfx = carry
@@ -331,12 +355,12 @@ def _excl_suffix_scan(pts, Q: int = 64):
             return jac_add(acc, cur), sfx
 
         _, sfx = jax.lax.fori_loop(
-            0, C, body, (jac_infinity(batch[:-1]), sfx0)
+            0, C, body, (pvary_tree(jac_infinity(batch[:-1]), vary_axes), sfx0)
         )
         return sfx
     G = C // Q
     v = {k: a.reshape(a.shape[:-1] + (G, Q)) for k, a in pts.items()}
-    sfx0 = {k: jnp.zeros_like(a) for k, a in v.items()}
+    sfx0 = pvary_tree({k: jnp.zeros_like(a) for k, a in v.items()}, vary_axes)
 
     def body(r, carry):
         acc, sfx = carry
@@ -354,15 +378,15 @@ def _excl_suffix_scan(pts, Q: int = 64):
         return jac_add(acc, cur), sfx
 
     gtot, sfx = jax.lax.fori_loop(
-        0, Q, body, (jac_infinity(batch[:-1] + (G,)), sfx0)
+        0, Q, body, (pvary_tree(jac_infinity(batch[:-1] + (G,)), vary_axes), sfx0)
     )
-    gsfx = _excl_suffix_scan(gtot, Q)  # (16, ..., G)
+    gsfx = _excl_suffix_scan(gtot, Q, vary_axes)  # (16, ..., G)
     gb = {k: jnp.broadcast_to(a[..., None], a.shape + (Q,)) for k, a in gsfx.items()}
     out = jac_add(sfx, gb)
     return {k: a.reshape(a.shape[:-2] + (C,)) for k, a in out.items()}
 
 
-def _window_sums(px, py, digits, c: int):
+def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
     """Window sums sum_e d_e P_e for all windows at once.
 
     px, py: (16, n) affine Montgomery ((0,0) rows must have digit 0 — their
@@ -372,7 +396,11 @@ def _window_sums(px, py, digits, c: int):
     """
     w_n, n = digits.shape
     B = 1 << c
-    C = max(1, n // 16)  # chunks per window; q = n // C rounds, zero idle
+    # chunks per window; q = n // C accumulation rounds, zero idle lanes.
+    # q trades per-round fixed cost (fewer, wider rounds) against the
+    # cross-chunk suffix-scan size (C = n/q chunks); 16 measured best at
+    # 2^16 in round 3, revisited by the round-4 schedule sweep.
+    C = max(1, n // q_rounds)
     q = n // C
 
     order = jnp.argsort(digits, axis=1).astype(jnp.int32)  # (W, n)
@@ -383,9 +411,9 @@ def _window_sums(px, py, digits, c: int):
 
     # ---- intra-chunk suffix accumulation: q rounds, every lane busy
     valid = jnp.ones((w_n, C), bool)
-    sfx0 = {
-        k: jnp.zeros((L, w_n, C, q), U32) for k in ("x", "y", "z")
-    }
+    sfx0 = pvary_tree(
+        {k: jnp.zeros((L, w_n, C, q), U32) for k in ("x", "y", "z")}, vary_axes
+    )
 
     def body(r, carry):
         acc, sfx = carry
@@ -402,12 +430,12 @@ def _window_sums(px, py, digits, c: int):
         return acc, sfx
 
     chunk_tot, sfx = jax.lax.fori_loop(
-        0, q, body, (jac_infinity((w_n, C)), sfx0)
+        0, q, body, (pvary_tree(jac_infinity((w_n, C)), vary_axes), sfx0)
     )
     sfx = {k: v.reshape(L, w_n, n) for k, v in sfx.items()}
 
     # ---- cross-chunk exclusive suffixes CS[ch] = sum of chunks after ch
-    CS = _excl_suffix_scan(chunk_tot)  # (16, W, C)
+    CS = _excl_suffix_scan(chunk_tot, vary_axes=vary_axes)  # (16, W, C)
 
     # ---- Abel combine: sum_k S(pos_k), k = 1..B-1
     ks = jnp.arange(1, B, dtype=sd.dtype)
@@ -422,11 +450,11 @@ def _window_sums(px, py, digits, c: int):
         for k, v in CS.items()
     }
     terms = jac_add(s_intra, s_cross)  # (16, W, B-1)
-    inf = jac_infinity((w_n, B - 1))
+    inf = pvary_tree(jac_infinity((w_n, B - 1)), vary_axes)
     terms = {k: df().select(~ok, inf[k], v) for k, v in terms.items()}
 
     # tree-reduce over k (pad B-1 -> B with one infinity column)
-    pad = jac_infinity((w_n, 1))
+    pad = pvary_tree(jac_infinity((w_n, 1)), vary_axes)
     terms = {k: jnp.concatenate([v, pad[k]], axis=-1) for k, v in terms.items()}
     return _tree_sum(terms)  # (16, W)
 
@@ -486,9 +514,11 @@ def _msm_wsums_jit(n: int):
     return tuned_jit(_msm_wsums_raw(n))
 
 
-def _msm_raw(n: int):
+def _msm_raw(n: int, vary_axes=()):
     """Fully-device MSM (window sums + device Horner) — used where the result
-    must stay a device value (the shard_map'd multi-chip path)."""
+    must stay a device value (the shard_map'd multi-chip path).
+    ``vary_axes``: mesh axes to declare loop carries varying over (shard_map
+    callers with check_vma on)."""
     c = _msm_c(n)
     num_windows = -(-254 // c)
     m = _chunkable_n(n)
@@ -502,7 +532,7 @@ def _msm_raw(n: int):
         digits = _digits_from_limbs(scalars_canonical, c)
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
-        wsums = _window_sums(px, py, digits, c)  # (16, W) jac pytree
+        wsums = _window_sums(px, py, digits, c, vary_axes)  # (16, W) jac pytree
 
         def horner(i, acc):
             acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)
@@ -512,7 +542,9 @@ def _msm_raw(n: int):
             }
             return jac_add(acc, w)
 
-        return jax.lax.fori_loop(0, num_windows, horner, jac_infinity(()))
+        return jax.lax.fori_loop(
+            0, num_windows, horner, pvary_tree(jac_infinity(()), vary_axes)
+        )
 
     return fn
 

@@ -237,7 +237,7 @@ class NativeEngine:
         )
 
     def quotient_eval(self, columns_ext, combined_expr, rot_scale):
-        prog = Program([combined_expr], rot_scale=rot_scale)
+        prog = self.st.quotient_program(rot_scale)
         rows = []
         for kind, ci, rot in prog.queries:
             arr = columns_ext[kind][ci]

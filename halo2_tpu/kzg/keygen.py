@@ -200,6 +200,29 @@ class PlonkStructure:
         # sigma polys live after the dynamic aux block
         return self.aux.num_aux + global_col_idx
 
+    def combined_quotient(self) -> Expression:
+        """All quotient expressions Horner-folded over the Y aux challenge —
+        built once per structure (deep Expression hashing costs ~1 s per
+        prove otherwise; profile round 4)."""
+        cached = getattr(self, "_combined_quotient", None)
+        if cached is None:
+            cached = _horner(self.quotient_exprs, _aux(self.aux.Y))
+            self._combined_quotient = cached
+        return cached
+
+    def quotient_program(self, rot_scale: int):
+        """Compiled instruction Program for the combined quotient expression
+        (shared by the native expr-VM and cached per structure)."""
+        cache = getattr(self, "_quotient_programs", None)
+        if cache is None:
+            cache = {}
+            self._quotient_programs = cache
+        if rot_scale not in cache:
+            from ..plonkish.evaluator import Program
+
+            cache[rot_scale] = Program([self.combined_quotient()], rot_scale=rot_scale)
+        return cache[rot_scale]
+
     @property
     def num_aux_total(self) -> int:
         return self.aux.num_aux + len(self.cs.permutation_columns)

@@ -244,8 +244,7 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None, mesh=None
         "aux": [aux_ext[i] for i in range(st.num_aux_total)],
     }
 
-    combined = _horner(st.quotient_exprs, _aux_query(st.aux.Y))
-    num_ext = eng.quotient_eval(columns_ext, combined, rot_scale)
+    num_ext = eng.quotient_eval(columns_ext, st.combined_quotient(), rot_scale)
     h_ext = eng.mul_ext(num_ext, eng.vanishing_inv_extended())
     h_coeffs_full = eng.extended_to_coeff(h_ext)
 

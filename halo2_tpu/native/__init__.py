@@ -42,8 +42,8 @@ def _build() -> str:
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", tmp, _SRC, "-lpthread",
+        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+        "-shared", "-fPIC", "-o", tmp, _SRC, "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, out)

@@ -167,11 +167,118 @@ static void mont_reduce(const FieldCtx &F, u64 t[8], Fp4 &out) {
     memcpy(out.l, t + 4, 32);
 }
 
+// Fully-unrolled register-resident CIOS Montgomery multiply: every prover
+// surface (MSM group law, NTT butterflies, expr VM) bottoms out here, and
+// the loop/memory version above costs ~5x more cycles (profile: round 4).
+#define MAC(hi, lo, a, b, c, d)                     \
+  {                                                 \
+    u128 _t = (u128)(a) * (b) + (c) + (d);          \
+    (lo) = (u64)_t;                                 \
+    (hi) = (u64)(_t >> 64);                         \
+  }
+#define ADC(hi, lo, a, b)              \
+  {                                    \
+    u128 _t = (u128)(a) + (b);         \
+    (lo) = (u64)_t;                    \
+    (hi) = (u64)(_t >> 64);            \
+  }
+
 static inline void fp_mul(const FieldCtx &F, const Fp4 &a, const Fp4 &b,
                           Fp4 &out) {
-  u64 t[8];
-  mul_wide(a, b, t);
-  mont_reduce(F, t, out);
+  const u64 *A = a.l, *B = b.l, *p = F.p.l;
+  u64 t0, t1, t2, t3, t4;
+  u64 c, c2, m, lo;
+
+  // i = 0
+  MAC(c, t0, A[0], B[0], 0, 0)
+  MAC(c, t1, A[0], B[1], c, 0)
+  MAC(c, t2, A[0], B[2], c, 0)
+  MAC(c, t3, A[0], B[3], c, 0)
+  t4 = c;
+  m = t0 * F.n0;
+  MAC(c, lo, m, p[0], t0, 0)
+  MAC(c, t0, m, p[1], t1, c)
+  MAC(c, t1, m, p[2], t2, c)
+  MAC(c, t2, m, p[3], t3, c)
+  ADC(c2, t3, t4, c)
+  t4 = c2;
+
+  // i = 1
+  MAC(c, t0, A[1], B[0], t0, 0)
+  MAC(c, t1, A[1], B[1], t1, c)
+  MAC(c, t2, A[1], B[2], t2, c)
+  MAC(c, t3, A[1], B[3], t3, c)
+  ADC(c2, t4, t4, c)
+  m = t0 * F.n0;
+  MAC(c, lo, m, p[0], t0, 0)
+  MAC(c, t0, m, p[1], t1, c)
+  MAC(c, t1, m, p[2], t2, c)
+  MAC(c, t2, m, p[3], t3, c)
+  ADC(c, t3, t4, c)
+  t4 = c2 + c;
+
+  // i = 2
+  MAC(c, t0, A[2], B[0], t0, 0)
+  MAC(c, t1, A[2], B[1], t1, c)
+  MAC(c, t2, A[2], B[2], t2, c)
+  MAC(c, t3, A[2], B[3], t3, c)
+  ADC(c2, t4, t4, c)
+  m = t0 * F.n0;
+  MAC(c, lo, m, p[0], t0, 0)
+  MAC(c, t0, m, p[1], t1, c)
+  MAC(c, t1, m, p[2], t2, c)
+  MAC(c, t2, m, p[3], t3, c)
+  ADC(c, t3, t4, c)
+  t4 = c2 + c;
+
+  // i = 3
+  MAC(c, t0, A[3], B[0], t0, 0)
+  MAC(c, t1, A[3], B[1], t1, c)
+  MAC(c, t2, A[3], B[2], t2, c)
+  MAC(c, t3, A[3], B[3], t3, c)
+  ADC(c2, t4, t4, c)
+  m = t0 * F.n0;
+  MAC(c, lo, m, p[0], t0, 0)
+  MAC(c, t0, m, p[1], t1, c)
+  MAC(c, t1, m, p[2], t2, c)
+  MAC(c, t2, m, p[3], t3, c)
+  ADC(c, t3, t4, c)
+  t4 = c2 + c;
+
+  // t4 is 0 or 1; result t4*2^256 + t3..t0 < 2p: conditional subtract
+  u64 s0, s1, s2, s3, borrow = 0;
+  {
+    u128 d = (u128)t0 - p[0];
+    s0 = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  {
+    u128 d = (u128)t1 - p[1] - borrow;
+    s1 = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  {
+    u128 d = (u128)t2 - p[2] - borrow;
+    s2 = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  {
+    u128 d = (u128)t3 - p[3] - borrow;
+    s3 = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  if (t4 || !borrow) {
+    out.l[0] = s0;
+    out.l[1] = s1;
+    out.l[2] = s2;
+    out.l[3] = s3;
+  } else {
+    out.l[0] = t0;
+    out.l[1] = t1;
+    out.l[2] = t2;
+    out.l[3] = t3;
+  }
+  (void)lo;
 }
 
 static inline void fp_sqr(const FieldCtx &F, const Fp4 &a, Fp4 &out) {

@@ -33,7 +33,7 @@ def _sharded_msm_raw(mesh: Mesh, n: int, axes: tuple):
     for a in axes:
         ndev *= mesh.shape[a]
     assert n % ndev == 0, f"point count {n} must divide over {ndev} devices"
-    local = _msm_raw(n // ndev)
+    local = _msm_raw(n // ndev, vary_axes=axes)
 
     def local_fn(px, py, scalars):
         part = local(px, py, scalars)  # jac pytree, leaves (16,)
@@ -48,18 +48,27 @@ def _sharded_msm_raw(mesh: Mesh, n: int, axes: tuple):
                     for k, v in gathered.items()}
             )
 
-        return jax.lax.fori_loop(1, ndev, body, acc)
+        out = jax.lax.fori_loop(1, ndev, body, acc)
+        # every device holds the same fold result, but the vma type system
+        # can't infer replication through all_gather + fori_loop — emit the
+        # value as device-VARYING (one row per device) and let the caller
+        # slice row 0, so the full soundness check stays ON (round-3 VERDICT
+        # item 7; the old code opted out with check_vma=False)
+        return {k: v[None] for k, v in out.items()}
 
     spec = P(None, axes)
-    fn = jax.shard_map(
+    sm = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs={"x": P(), "y": P(), "z": P()},
-        # the Pippenger loops carry replicated-initialized accumulators that
-        # become device-varying after the first iteration; skip the vma check
-        check_vma=False,
+        out_specs={k: P(axes, None) for k in ("x", "y", "z")},
+        check_vma=True,
     )
+
+    def fn(px, py, scalars):
+        out = sm(px, py, scalars)  # leaves (D, 16), identical rows
+        return {k: v[0] for k, v in out.items()}
+
     return fn
 
 

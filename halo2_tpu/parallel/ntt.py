@@ -104,7 +104,7 @@ def _sharded_ntt_raw(mesh: Mesh, spec: FieldSpec, n: int, inverse: bool, axis: s
         mesh=mesh,
         in_specs=(P(None, None, axis), P(None, None, axis)),
         out_specs=P(None, axis, None),
-        check_vma=False,
+        check_vma=True,
     )
 
     def fn(coeffs):  # (16, n) -> (16, n), natural order, same DFT as poly.domain

@@ -44,7 +44,10 @@ def _sharded_prefix_product_raw(mesh: Mesh, spec, axis: str, n: int):
             t = jax.lax.dynamic_index_in_dim(totals, j, 0, False)
             return df.select(j < idx, df.mul(off, t), off)
 
-        off = jax.lax.fori_loop(0, S, body, df.one_mont(()))
+        # the carry starts replicated but turns device-varying at the first
+        # iteration (idx = axis_index); mark it varying up front so the
+        # full vma soundness check can stay ON (round-3 VERDICT item 7)
+        off = jax.lax.fori_loop(0, S, body, jax.lax.pvary(df.one_mont(()), axis))
         return df.mul(pref, off[:, None])
 
     return jax.shard_map(
@@ -52,7 +55,7 @@ def _sharded_prefix_product_raw(mesh: Mesh, spec, axis: str, n: int):
         mesh=mesh,
         in_specs=(P(None, axis),),
         out_specs=P(None, axis),
-        check_vma=False,
+        check_vma=True,
     )
 
 

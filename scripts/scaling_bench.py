@@ -47,7 +47,12 @@ def main():
     from halo2_tpu.parallel.msm import sharded_msm
     from halo2_tpu.parallel.ntt import sharded_ntt
 
-    n = 1 << 10  # small enough to compile+run inside the driver budget
+    # n = 2^12: at the round-3 size (2^10) a 512-point local MSM was
+    # dispatch-bound on the virtual CPU devices (t2 > t1), so the 2-dev
+    # efficiency measured collective+dispatch overhead, not scaling (round-3
+    # VERDICT item 6).  At 2^12 the per-round lane work dominates the
+    # per-round dispatch and the O(D) partial-sum exchange.
+    n = 1 << 12
     rng = random.Random(11)
     base = ec.ec_mul(ec.G1, 7)
     pts = [ec.ec_mul(base, i + 1) for i in range(64)]
@@ -96,8 +101,9 @@ def main():
     }
     print(json.dumps(partial), flush=True)
 
-    # NTT: four-step all_to_all over sp
-    m = 1 << 12
+    # NTT: four-step all_to_all over sp (2^15: same reasoning as the MSM
+    # size — at 2^12 the per-stage dispatch swamped the butterfly work)
+    m = 1 << 15
     x = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(1024)])
     import jax.numpy as jnp
 
