@@ -50,21 +50,27 @@ def bench_msm():
     dfr = get_device_field(BN254_FR)
     rng = random.Random(42)
     scalars = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False)
+    # SRS lives host-side since round 4 — upload to the device ONCE (passing
+    # numpy would re-upload 8 MB through the tunnel on every call)
+    g1_x, g1_y = jnp.asarray(params.g1_x), jnp.asarray(params.g1_y)
 
     # compile + warmup.  NOTE: sync via host readback (np.asarray), NOT
     # block_until_ready — the axon TPU tunnel returns from block_until_ready
     # before device execution completes, which silently fakes the timing.
     t0 = time.perf_counter()
-    out = msm(params.g1_x, params.g1_y, scalars)
+    out = msm(g1_x, g1_y, scalars)
     np.asarray(out["x"])
     log(f"MSM compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = msm(params.g1_x, params.g1_y, scalars)
+    # median of 5: the tunnel occasionally injects multi-hundred-ms latency
+    # spikes (round-4 sweep observed a 10x outlier) that wreck a mean
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = msm(g1_x, g1_y, scalars)
         np.asarray(out["x"])
-    dt = (time.perf_counter() - t0) / iters
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]
     return n / dt, dt
 
 
@@ -144,18 +150,21 @@ def bench_msm_2_20():
     n = 1 << 20
     params = ParamsKZG.setup_cached(16)  # 2^16 SRS tiled to 2^20 points
     reps = n // (1 << 16)
-    px = jnp.tile(params.g1_x, (1, reps))
-    py = jnp.tile(params.g1_y, (1, reps))
+    px = jnp.tile(jnp.asarray(params.g1_x), (1, reps))
+    py = jnp.tile(jnp.asarray(params.g1_y), (1, reps))
     dfr = get_device_field(BN254_FR)
     rng = random.Random(9)
     sc = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(1 << 16)], to_mont=False)
     sc = jnp.tile(sc, (1, reps))
     out = msm(px, py, sc)
     np.asarray(out["x"])  # compile+warm (sync via readback, see bench_msm)
-    t0 = time.perf_counter()
-    out = msm(px, py, sc)
-    np.asarray(out["x"])
-    dt = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = msm(px, py, sc)
+        np.asarray(out["x"])
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]  # median (tunnel latency spikes)
     return n / dt, dt
 
 

@@ -296,6 +296,29 @@ def _digits_from_limbs(scalars_canonical, c: int):
     return jnp.stack(outs)
 
 
+def _signed_digits(digits, c: int):
+    """Unsigned c-bit digits -> (magnitudes, signs): d' = d + carry, and
+    d' > 2^(c-1) is emitted as -(2^c - d') with carry 1, so magnitudes stay
+    <= 2^(c-1) and the Abel combine's bucket count HALVES (sum_e d_e P_e =
+    sum_e mag_e * (sign_e ? -P_e : P_e)).  The top window absorbs the final
+    carry (its raw digit is < 2^(254 - c*(W-1)), far below 2^(c-1) for every
+    window size _msm_c chooses, so it never needs recoding)."""
+    w_n = digits.shape[0]
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    mags, signs = [], []
+    carry = jnp.zeros_like(digits[0])
+    for k in range(w_n - 1):
+        d = digits[k] + carry
+        neg = d > half
+        mags.append(jnp.where(neg, full - d, d))
+        signs.append(neg.astype(U32))
+        carry = neg.astype(U32)
+    mags.append(digits[w_n - 1] + carry)
+    signs.append(jnp.zeros_like(carry))
+    return jnp.stack(mags), jnp.stack(signs)
+
+
 def _fold_groups(terms, Q: int):
     """Sum groups of Q adjacent entries on the last axis: (..., M) -> (..., M//Q).
 
@@ -386,7 +409,7 @@ def _excl_suffix_scan(pts, Q: int = 64, vary_axes=()):
     return {k: a.reshape(a.shape[:-2] + (C,)) for k, a in out.items()}
 
 
-def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
+def _window_sums(px, py, digits, signs, c: int, vary_axes=(), q_rounds: int = 8):
     """Window sums sum_e d_e P_e for all windows at once.
 
     px, py: (16, n) affine Montgomery ((0,0) rows must have digit 0 — their
@@ -395,17 +418,33 @@ def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
     Returns a jac pytree (16, W).
     """
     w_n, n = digits.shape
-    B = 1 << c
+    # signed digits: magnitudes <= 2^(c-1), so the Abel combine runs over
+    # half the bucket positions of the unsigned form (round-4 redesign)
+    B_eff = 1 << (c - 1)
     # chunks per window; q = n // C accumulation rounds, zero idle lanes.
     # q trades per-round fixed cost (fewer, wider rounds) against the
-    # cross-chunk suffix-scan size (C = n/q chunks); 16 measured best at
-    # 2^16 in round 3, revisited by the round-4 schedule sweep.
+    # cross-chunk suffix-scan size (C = n/q chunks); 8 measured best at
+    # 2^16 in the round-4 schedule sweep (183 ms vs 260 ms at q=16).
     C = max(1, n // q_rounds)
     q = n // C
 
-    order = jnp.argsort(digits, axis=1).astype(jnp.int32)  # (W, n)
-    sd = jnp.take_along_axis(digits, order, axis=1)
+    # ONE u32 key per entry — (mag | sign | index) packed so a single
+    # UNSTABLE single-operand sort replaces the variadic argsort (stability
+    # is irrelevant: the Abel combine only reads digit boundaries).  Fits
+    # u32 for every reachable shape: c <= 12 and n <= _MSM_SLICE = 2^18
+    # gives c + 1 + 18 = 31 bits.
+    ib = max(1, (n - 1).bit_length())
+    key = (
+        (digits << np.uint32(ib + 1))
+        | (signs << np.uint32(ib))
+        | jnp.arange(n, dtype=U32)[None, :]
+    )
+    skey = jax.lax.sort(key, dimension=1, is_stable=False)
+    order = (skey & np.uint32((1 << ib) - 1)).astype(jnp.int32)  # (W, n)
+    sign_sorted = (skey >> np.uint32(ib)) & np.uint32(1)
+    sd = skey >> np.uint32(ib + 1)
     order_cq = order.reshape(w_n, C, q)
+    sign_cq = sign_sorted.reshape(w_n, C, q)
     # one stacked (n, 32) tensor: ONE row-gather per round instead of two.
     stacked_t = jnp.concatenate([px, py]).T
 
@@ -419,8 +458,11 @@ def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
         acc, sfx = carry
         pos = q - 1 - r
         idx = jax.lax.dynamic_slice_in_dim(order_cq, pos, 1, axis=2)[..., 0]
+        sgn = jax.lax.dynamic_slice_in_dim(sign_cq, pos, 1, axis=2)[..., 0]
         g = jnp.moveaxis(stacked_t[idx], -1, 0)  # (32, W, C)
-        acc = jac_madd(acc, g[:16], g[16:], valid)
+        qy = g[16:]
+        qy = df().select(sgn != 0, df().neg(qy), qy)  # signed-digit negation
+        acc = jac_madd(acc, g[:16], qy, valid)
         sfx = {
             k: jax.lax.dynamic_update_slice_in_dim(
                 sfx[k], acc[k][..., None], pos, axis=3
@@ -437,10 +479,10 @@ def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
     # ---- cross-chunk exclusive suffixes CS[ch] = sum of chunks after ch
     CS = _excl_suffix_scan(chunk_tot, vary_axes=vary_axes)  # (16, W, C)
 
-    # ---- Abel combine: sum_k S(pos_k), k = 1..B-1
-    ks = jnp.arange(1, B, dtype=sd.dtype)
+    # ---- Abel combine: sum_k S(pos_k), k = 1..B_eff (signed magnitudes)
+    ks = jnp.arange(1, B_eff + 1, dtype=sd.dtype)
     pos = jax.vmap(lambda s: jnp.searchsorted(s, ks))(sd).astype(jnp.int32)
-    ok = pos < n  # (W, B-1)
+    ok = pos < n  # (W, B_eff)
     posc = jnp.clip(pos, 0, n - 1)
     s_intra = {
         k: jnp.take_along_axis(v, posc[None], axis=2) for k, v in sfx.items()
@@ -449,23 +491,29 @@ def _window_sums(px, py, digits, c: int, vary_axes=(), q_rounds: int = 16):
         k: jnp.take_along_axis(v, (posc // q)[None], axis=2)
         for k, v in CS.items()
     }
-    terms = jac_add(s_intra, s_cross)  # (16, W, B-1)
-    inf = pvary_tree(jac_infinity((w_n, B - 1)), vary_axes)
+    terms = jac_add(s_intra, s_cross)  # (16, W, B_eff)
+    inf = pvary_tree(jac_infinity((w_n, B_eff)), vary_axes)
     terms = {k: df().select(~ok, inf[k], v) for k, v in terms.items()}
 
-    # tree-reduce over k (pad B-1 -> B with one infinity column)
-    pad = pvary_tree(jac_infinity((w_n, 1)), vary_axes)
-    terms = {k: jnp.concatenate([v, pad[k]], axis=-1) for k, v in terms.items()}
+    # tree-reduce over k (B_eff = 2^(c-1) is already a power of two)
     return _tree_sum(terms)  # (16, W)
 
 
-def _chunkable_n(n: int) -> int:
-    """Smallest m >= n that _window_sums can chunk: m = 16*C with C either
+def _q_rounds(n: int) -> int:
+    """Accumulation rounds per chunk.  Round-4 sweep at 2^16: q=8 beat q=16
+    by 30% (183 vs 260 ms window sums); at the 2^18 slice size q=8 REGRESSED
+    the 2^20 MSM (the cross-chunk suffix scan grows to C = n/8 = 32k tiny-
+    lane rounds), so larger slices keep q=16."""
+    return 8 if n <= (1 << 16) else 16
+
+
+def _chunkable_n(n: int, q: int) -> int:
+    """Smallest m >= n that _window_sums can chunk: m = q*C with C either
     <= 64 or recursively a multiple of 64 (the _excl_suffix_scan radix), so
     C*q == m holds at every level.  Padding entries are (0,0) points with
     digit 0 — sorted first and never read by the Abel combine (same invariant
     as real infinity inputs)."""
-    if n < 16:
+    if n < q:
         return n
 
     def round_chunks(C):
@@ -473,7 +521,7 @@ def _chunkable_n(n: int) -> int:
             return C
         return 64 * round_chunks(-(-C // 64))
 
-    return 16 * round_chunks(-(-n // 16))
+    return q * round_chunks(-(-n // q))
 
 
 def _msm_wsums_raw(n: int):
@@ -485,7 +533,8 @@ def _msm_wsums_raw(n: int):
     on the HOST with big-int Jacobian ops (~3 ms), where sequential-scalar
     work belongs."""
     c = _msm_c(n)
-    m = _chunkable_n(n)
+    q = _q_rounds(n)
+    m = _chunkable_n(n, q)
 
     def fn(px, py, scalars_canonical):
         if m != n:
@@ -498,12 +547,13 @@ def _msm_wsums_raw(n: int):
         # digit 0, which the Abel combine never reads
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
+        digits, signs = _signed_digits(digits, c)
         # Jacobian window sums; normalization happens on the HOST (the
         # device inverse is a 254-step scan at lane width W — pure dispatch
         # overhead for 22 lanes).  Stacked into ONE array: each device_get
         # pays a full tunnel round trip (~28 ms measured), so three separate
         # coordinate fetches would triple the host-tail latency.
-        w = _window_sums(px, py, digits, c)
+        w = _window_sums(px, py, digits, signs, c, q_rounds=q)
         return jnp.stack([w["x"], w["y"], w["z"]])
 
     return fn
@@ -520,8 +570,9 @@ def _msm_raw(n: int, vary_axes=()):
     ``vary_axes``: mesh axes to declare loop carries varying over (shard_map
     callers with check_vma on)."""
     c = _msm_c(n)
+    q = _q_rounds(n)
     num_windows = -(-254 // c)
-    m = _chunkable_n(n)
+    m = _chunkable_n(n, q)
 
     def fn(px, py, scalars_canonical):
         if m != n:
@@ -532,7 +583,8 @@ def _msm_raw(n: int, vary_axes=()):
         digits = _digits_from_limbs(scalars_canonical, c)
         pt_inf = df().is_zero(px) & df().is_zero(py)
         digits = jnp.where(pt_inf[None], 0, digits)
-        wsums = _window_sums(px, py, digits, c, vary_axes)  # (16, W) jac pytree
+        digits, signs = _signed_digits(digits, c)
+        wsums = _window_sums(px, py, digits, signs, c, vary_axes, q_rounds=q)
 
         def horner(i, acc):
             acc = jax.lax.fori_loop(0, c, lambda _, a: jac_double(a), acc)

@@ -89,6 +89,9 @@ class DeviceEngine:
     def coeff_to_extended(self, coeffs):
         return self.domain.coeff_to_extended(coeffs)
 
+    def coeff_to_extended_many(self, coeffs_list):
+        return [self.coeff_to_extended(c) for c in coeffs_list]
+
     def extended_to_coeff(self, epoly):
         return self.domain.extended_to_coeff(epoly)
 
@@ -204,12 +207,31 @@ class NativeEngine:
         return cache[key]
 
     # ---- transforms
+    @functools.lru_cache(maxsize=None)
+    def _coset_powers_row(self):
+        p = P
+        g = self.domain.g_coset
+        pows = [1] * self.ext_n
+        for i in range(1, self.ext_n):
+            pows[i] = pows[i - 1] * g % p
+        return self.native.pack_ints(pows)
+
     def coeff_to_extended(self, coeffs):
-        m = coeffs.shape[0]
-        padded = np.zeros((self.ext_n, 4), np.uint64)
-        padded[:m] = coeffs
-        scaled = self.native.scale_powers_fr(padded, self.domain.g_coset)
-        return self.native.ntt_fr(scaled, inverse=False)
+        return self.coeff_to_extended_many([coeffs])[0]
+
+    def coeff_to_extended_many(self, coeffs_list):
+        """Pad + coset-scale + forward NTT for MANY columns in one native
+        call batch (threads split the columns — the per-column loop was the
+        second-largest slice of the native quotient phase)."""
+        if not coeffs_list:
+            return []
+        nb = len(coeffs_list)
+        padded = np.zeros((nb, self.ext_n, 4), np.uint64)
+        for b, c in enumerate(coeffs_list):
+            padded[b, : c.shape[0]] = c
+        scaled = self.native.scale_row_fr_batch(padded, self._coset_powers_row())
+        out = self.native.ntt_fr_batch(scaled, inverse=False)
+        return [out[b] for b in range(nb)]
 
     def extended_to_coeff(self, epoly):
         coeffs = self.native.ntt_fr(epoly, inverse=True)

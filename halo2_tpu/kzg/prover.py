@@ -214,32 +214,45 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None, mesh=None
     ext_n = domain.extended_n
     rot_scale = ext_n // n
 
-    fixed_ext = [
-        eng.coeff_to_extended(eng.pk_coeff(pk, "fixed", i))
-        for i in range(len(fin.fixed))
-    ]
-    selector_ext = [
-        eng.coeff_to_extended(eng.pk_coeff(pk, "fixed", len(fin.fixed) + i))
-        for i in range(len(fin.selectors))
-    ]
     instance_coeffs = [eng.to_coeffs(list(c)) for c in fin.instance]
 
+    # ONE batched pad+coset-scale+NTT over every column headed to the coset
+    # (threads split the columns on the native engine)
+    n_fx, n_sel = len(fin.fixed), len(fin.selectors)
+    jobs = list(advice_coeffs)
+    jobs += [eng.pk_coeff(pk, "fixed", i) for i in range(n_fx + n_sel)]
+    jobs += instance_coeffs
+    jobs += perm_z_coeffs
+    for ld in lookup_data:
+        jobs += [ld["ap_coeffs"], ld["sp_coeffs"], ld["z_coeffs"]]
+    jobs += [eng.pk_coeff(pk, "sigma", gi) for gi in range(len(perm_cols))]
+    exts = eng.coeff_to_extended_many(jobs)
+
+    def take(k):
+        nonlocal exts
+        out, exts = exts[:k], exts[k:]
+        return out
+
+    advice_ext = take(len(advice_coeffs))
+    fixed_ext = take(n_fx)
+    selector_ext = take(n_sel)
+    instance_ext = take(len(instance_coeffs))
+    perm_z_ext = take(len(perm_z_coeffs))
     aux_ext = _aux_extended(eng, st, beta, gamma, theta, y)
-    for c, zc in enumerate(perm_z_coeffs):
-        aux_ext[st.aux.perm_z(c)] = eng.coeff_to_extended(zc)
-    for i, ld in enumerate(lookup_data):
-        aux_ext[st.aux.lookup_permuted_input(i)] = eng.coeff_to_extended(ld["ap_coeffs"])
-        aux_ext[st.aux.lookup_permuted_table(i)] = eng.coeff_to_extended(ld["sp_coeffs"])
-        aux_ext[st.aux.lookup_z(i)] = eng.coeff_to_extended(ld["z_coeffs"])
-    for gi in range(len(perm_cols)):
-        aux_ext[st._sigma_aux_index(gi)] = eng.coeff_to_extended(
-            eng.pk_coeff(pk, "sigma", gi)
-        )
+    for c, ze in enumerate(perm_z_ext):
+        aux_ext[st.aux.perm_z(c)] = ze
+    for i in range(len(lookup_data)):
+        ap_e, sp_e, z_e = take(3)
+        aux_ext[st.aux.lookup_permuted_input(i)] = ap_e
+        aux_ext[st.aux.lookup_permuted_table(i)] = sp_e
+        aux_ext[st.aux.lookup_z(i)] = z_e
+    for gi, se in enumerate(take(len(perm_cols))):
+        aux_ext[st._sigma_aux_index(gi)] = se
 
     columns_ext = {
-        "advice": [eng.coeff_to_extended(c) for c in advice_coeffs],
+        "advice": advice_ext,
         "fixed": fixed_ext,
-        "instance": [eng.coeff_to_extended(c) for c in instance_coeffs],
+        "instance": instance_ext,
         "selector": selector_ext,
         "aux": [aux_ext[i] for i in range(st.num_aux_total)],
     }

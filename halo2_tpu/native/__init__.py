@@ -73,6 +73,12 @@ def _load():
             u64p, u64p, u64p, ctypes.c_size_t, ctypes.c_size_t, u64p,
         ]
         lib.h2t_ntt_fr.argtypes = [u64p, ctypes.c_size_t, ctypes.c_int]
+        lib.h2t_ntt_fr_batch.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.h2t_scale_row_fr_batch.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_size_t, u64p,
+        ]
         lib.h2t_scale_powers_fr.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.h2t_batch_inv_fr.argtypes = [u64p, ctypes.c_size_t]
         lib.h2t_grand_product_fr.argtypes = [
@@ -216,6 +222,23 @@ def ntt_fr(words: np.ndarray, inverse: bool = False) -> np.ndarray:
     lib = _load()
     a = np.ascontiguousarray(words, dtype=np.uint64).copy()
     lib.h2t_ntt_fr(_ptr(a), a.shape[0], 1 if inverse else 0)
+    return a
+
+
+def ntt_fr_batch(words: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """(nb, n, 4) canonical Fr -> per-column NTT (threads over columns)."""
+    lib = _load()
+    a = np.ascontiguousarray(words, dtype=np.uint64).copy()
+    lib.h2t_ntt_fr_batch(_ptr(a), a.shape[0], a.shape[1], 1 if inverse else 0)
+    return a
+
+
+def scale_row_fr_batch(words: np.ndarray, row: np.ndarray) -> np.ndarray:
+    """(nb, n, 4) canonical; multiply every column elementwise by row (n, 4)."""
+    lib = _load()
+    a = np.ascontiguousarray(words, dtype=np.uint64).copy()
+    row = np.ascontiguousarray(row, dtype=np.uint64)
+    lib.h2t_scale_row_fr_batch(_ptr(a), a.shape[0], a.shape[1], _ptr(row))
     return a
 
 

@@ -725,6 +725,52 @@ void h2t_ntt_fr(u64 *a, size_t n, int inverse) {
   for (size_t i = 0; i < n; i++) fp_from_mont(FR, v[i], v[i]);
 }
 
+// Batched NTT: nb independent length-n transforms, threads over columns
+// (the prover's coeff_to_extended runs ~45 of these back to back).
+void h2t_ntt_fr_batch(u64 *a, size_t nb, size_t n, int inverse) {
+  int nt = num_threads();
+  if ((size_t)nt > nb) nt = (int)nb;
+  if (nt <= 1) {
+    for (size_t b = 0; b < nb; b++) h2t_ntt_fr(a + 4 * n * b, n, inverse);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++)
+    threads.emplace_back([=]() {
+      for (size_t b = t; b < nb; b += nt) h2t_ntt_fr(a + 4 * n * b, n, inverse);
+    });
+  for (auto &th : threads) th.join();
+}
+
+// Batched elementwise multiply by a SHARED row: a[b][i] *= s[i] (canonical).
+// The coset scale of coeff_to_extended across many columns at once.
+void h2t_scale_row_fr_batch(u64 *a, size_t nb, size_t n, const u64 *s) {
+  std::vector<Fp4> sm(n);
+  const Fp4 *vs = (const Fp4 *)s;
+  for (size_t i = 0; i < n; i++) fp_to_mont(FR, vs[i], sm[i]);
+  int nt = num_threads();
+  if ((size_t)nt > nb) nt = (int)nb;
+  auto run = [&](size_t b) {
+    Fp4 *v = (Fp4 *)(a + 4 * n * b);
+    for (size_t i = 0; i < n; i++) {
+      Fp4 am;
+      fp_to_mont(FR, v[i], am);
+      fp_mul(FR, am, sm[i], v[i]);
+      fp_from_mont(FR, v[i], v[i]);
+    }
+  };
+  if (nt <= 1) {
+    for (size_t b = 0; b < nb; b++) run(b);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++)
+    threads.emplace_back([&, t]() {
+      for (size_t b = t; b < nb; b += nt) run(b);
+    });
+  for (auto &th : threads) th.join();
+}
+
 // a[i] *= g^i (canonical).  The coset scale of coeff_to_extended.
 void h2t_scale_powers_fr(u64 *a, size_t n, const u64 *g) {
   Fp4 gm, acc = FR.one;
@@ -824,21 +870,29 @@ static void expr_eval_chunk(const u64 *base, size_t nbase, size_t n, size_t lo,
 void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
                       const int32_t *instrs, size_t ni,
                       const int32_t *out_slots, size_t nout, u64 *out) {
+  // Small column chunks keep the whole (nbase + ni)-slot buffer inside the
+  // cache hierarchy: at the flagship's ~1100 slots a per-thread half-split
+  // buffer is ~150 MB (DRAM-streamed on every instruction); 64-wide chunks
+  // are ~2 MB.  Threads stride over chunks.
+  size_t chunk = (2u << 20) / ((nbase + ni) * 32 + 1);
+  if (chunk < 16) chunk = 16;
+  if (chunk > n) chunk = n;
+  size_t nchunks = (n + chunk - 1) / chunk;
   int nt = num_threads();
-  if ((size_t)nt * 256 > n) nt = (int)(n / 256);
+  if ((size_t)nt > nchunks) nt = (int)nchunks;
+  auto run = [&](size_t ci) {
+    size_t lo = ci * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    expr_eval_chunk(base, nbase, n, lo, hi, instrs, ni, out_slots, nout, out);
+  };
   if (nt <= 1) {
-    expr_eval_chunk(base, nbase, n, 0, n, instrs, ni, out_slots, nout, out);
+    for (size_t ci = 0; ci < nchunks; ci++) run(ci);
     return;
   }
   std::vector<std::thread> threads;
-  size_t chunk = (n + nt - 1) / nt;
-  for (int t = 0; t < nt; t++) {
-    size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
-    if (lo >= hi) break;
-    threads.emplace_back([=]() {
-      expr_eval_chunk(base, nbase, n, lo, hi, instrs, ni, out_slots, nout, out);
+  for (int t = 0; t < nt; t++)
+    threads.emplace_back([&, t]() {
+      for (size_t ci = t; ci < nchunks; ci += (size_t)nt) run(ci);
     });
-  }
   for (auto &th : threads) th.join();
 }
 

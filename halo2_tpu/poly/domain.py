@@ -193,13 +193,21 @@ class EvaluationDomain:
     @functools.lru_cache(maxsize=None)
     def vanishing_inv_extended_ints(self) -> tuple:
         """1 / (X^n - 1) on the extended coset, host ints (shared by the
-        device and native prover engines)."""
+        device and native prover engines).
+
+        (g*w^i)^n = g^n * w^(i*n) cycles with period ext_n/n, so only
+        rot_scale distinct inverses exist — computed once and tiled (the
+        per-point modexp loop cost ~1 s of every first prove at k=11)."""
         p = self.spec.p
-        out = []
-        for i in range(self.extended_n):
-            x = self.g_coset * pow(self.extended_omega, i, p) % p
-            out.append(pow(pow(x, self.n, p) - 1, -1, p))
-        return tuple(out)
+        rot = self.extended_n // self.n
+        gn = pow(self.g_coset, self.n, p)
+        wn = pow(self.extended_omega, self.n, p)
+        vals = []
+        acc = gn
+        for _ in range(rot):
+            vals.append(pow(acc - 1, -1, p))
+            acc = acc * wn % p
+        return tuple(vals[i % rot] for i in range(self.extended_n))
 
     @functools.lru_cache(maxsize=None)
     def vanishing_inv_extended(self):
