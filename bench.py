@@ -117,7 +117,7 @@ def bench_scaling():
     try:
         out = subprocess.run(
             [sys.executable, script],
-            capture_output=True, text=True, timeout=480,
+            capture_output=True, text=True, timeout=700,
         )
         found = last_json(out.stdout)
         if found is not None:

@@ -1,4 +1,13 @@
-"""Sharded prove step (L9): the full per-phase device pipeline under one jit.
+"""Sharded prove-step DEMO (L9): per-phase device pipeline under ONE jit.
+
+NOTE (round 4): the production multi-chip prover is `create_proof(mesh=...)`
+(kzg/engine.ShardedEngine), which routes every real phase — iNTT, commits,
+permutation/lookup grand products with the actual beta/gamma/sigma labels,
+and the row-sharded quotient VM — through halo2_tpu/parallel and produces
+byte-identical proofs to single-chip (asserted in dryrun_multichip).  This
+module remains as the fused single-jit form of the row-axis phases (gate
+check + iNTT + commits + a grand-product scan with synthetic labels), used
+by the dryrun to exercise all collectives inside one program.
 
 This is the multi-chip version of the prover's phase sequence that touches
 the row axis (kzg/prover.py, mirroring reference src/circuits/utils.rs:40-48):

@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
-DEADLINE = time.monotonic() + float(os.environ.get("HALO2_TPU_SCALING_BUDGET", "420"))
+DEADLINE = time.monotonic() + float(os.environ.get("HALO2_TPU_SCALING_BUDGET", "620"))
 
 
 def log(msg):
@@ -84,18 +84,31 @@ def main():
         out = sharded_msm(mesh, pxa, pya, sca, axes=axes)
         np.asarray(out["x"])
         log(f"msm {tag} compile+first {time.perf_counter()-t0:.1f}s")
-        t0 = time.perf_counter()
-        out = sharded_msm(mesh, pxa, pya, sca, axes=axes)
-        np.asarray(out["x"])
-        return time.perf_counter() - t0
+        best = None
+        for _ in range(2):  # min-of-2: host GC/page stalls spike single runs
+            t0 = time.perf_counter()
+            out = sharded_msm(mesh, pxa, pya, sca, axes=axes)
+            np.asarray(out["x"])
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
 
     devs = jax.devices()
     mesh1 = Mesh(np.array(devs[:1]).reshape(1, 1), ("dp", "sp"))
     mesh2 = Mesh(np.array(devs[:2]).reshape(1, 2), ("dp", "sp"))
     mesh8 = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "sp"))
 
-    result = {"scaling_host_cores": os.cpu_count() or 1,
-              "scaling_8dev_ceiling": round(min(1.0, (os.cpu_count() or 1) / 8), 4)}
+    result = {
+        "scaling_host_cores": os.cpu_count() or 1,
+        "scaling_8dev_ceiling": round(min(1.0, (os.cpu_count() or 1) / 8), 4),
+        # the honest read of the virtual-mesh numbers (see module docstring)
+        "scaling_note": (
+            "virtual CPU devices share this host's cores; work-normalized "
+            "efficiencies are bounded by cores/D and by XLA:CPU dispatch; "
+            "msm_collective_overhead_2dev isolates the collective pattern "
+            "cost (1.0 = free)"
+        ),
+    }
 
     t1 = timed_msm(mesh1, ("dp", "sp"), px, py, sc, "1dev")
     result["msm_t1_s"] = round(t1, 4)
@@ -105,21 +118,6 @@ def main():
     result["msm_scaling_efficiency_2dev"] = round(t1 / (2 * t2), 4)
     log(f"t2={t2:.3f}")
     print(json.dumps(result), flush=True)
-
-    # perfect-scaling lower bound for t2: the SAME 1-dev program at n/2
-    if left() > 150:
-        h = n // 2
-        t1h = timed_msm(mesh1, ("dp", "sp"), px[:, :h], py[:, :h], sc[:, :h], "1dev-half")
-        result["msm_t1_halfn_s"] = round(t1h, 4)
-        result["msm_collective_overhead_2dev"] = round(t2 / t1h, 4)
-        log(f"t1_half={t1h:.3f} -> collective overhead x{t2/t1h:.2f}")
-        print(json.dumps(result), flush=True)
-
-    if left() > 180:
-        t8 = timed_msm(mesh8, ("dp", "sp"), px, py, sc, "8dev")
-        result["msm_t8_s"] = round(t8, 4)
-        result["msm_scaling_efficiency_8dev"] = round(t1 / (8 * t8), 4)
-        print(json.dumps(result), flush=True)
 
     # NTT: four-step all_to_all over sp
     if left() > 120:
@@ -134,10 +132,14 @@ def main():
             o = sharded_ntt(mesh, BN254_FR, xa)
             np.asarray(o[0, :1])
             log(f"ntt {tag} compile+first {time.perf_counter()-t0:.1f}s")
-            t0 = time.perf_counter()
-            o = sharded_ntt(mesh, BN254_FR, xa)
-            np.asarray(o[0, :1])
-            return time.perf_counter() - t0
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                o = sharded_ntt(mesh, BN254_FR, xa)
+                np.asarray(o[0, :1])
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return best
 
         nt1 = timed_ntt(mesh1, x, "1dev")
         result["ntt_t1_s"] = round(nt1, 4)
@@ -151,14 +153,23 @@ def main():
             result["ntt_scaling_efficiency_8dev"] = round(nt1 / (8 * nt8), 4)
         print(json.dumps(result), flush=True)
 
-    # the honest read of the virtual-mesh numbers (see module docstring)
-    result["scaling_note"] = (
-        "virtual CPU devices share this host's cores; work-normalized "
-        "efficiencies are bounded by cores/D and by XLA:CPU dispatch; "
-        "msm_collective_overhead_2dev isolates the collective pattern cost "
-        "(1.0 = free)"
-    )
-    print(json.dumps(result), flush=True)
+    # perfect-scaling lower bound for t2: the SAME 1-dev program at n/2
+    if left() > 150:
+        h = n // 2
+        t1h = timed_msm(mesh1, ("dp", "sp"), px[:, :h], py[:, :h], sc[:, :h], "1dev-half")
+        result["msm_t1_halfn_s"] = round(t1h, 4)
+        result["msm_collective_overhead_2dev"] = round(t2 / t1h, 4)
+        log(f"t1_half={t1h:.3f} -> collective overhead x{t2/t1h:.2f}")
+        print(json.dumps(result), flush=True)
+
+    # 8-dev MSM last: on a 2-core host the figure is capped at 0.25 by
+    # oversubscription (scaling_8dev_ceiling), so it ranks below the NTT data
+    if left() > 150:
+        t8 = timed_msm(mesh8, ("dp", "sp"), px, py, sc, "8dev")
+        result["msm_t8_s"] = round(t8, 4)
+        result["msm_scaling_efficiency_8dev"] = round(t1 / (8 * t8), 4)
+        print(json.dumps(result), flush=True)
+
 
 
 if __name__ == "__main__":

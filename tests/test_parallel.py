@@ -140,3 +140,31 @@ def test_sharded_prove_step_flagship():
     assert coeffs.shape == (n_adv, 16, n)
     assert commitments["x"].shape == (n_adv, 16)
     assert z.shape == (16, n)
+
+
+@pytest.mark.slow
+def test_sharded_create_proof_proof_bytes():
+    """create_proof(mesh=...) == single-chip proof bytes (pinned rng).
+
+    The production multi-chip prover path (kzg/engine.ShardedEngine);
+    also exercised by __graft_entry__.dryrun_multichip.  Slow tier: the
+    sharded quotient + NTT + MSM programs cost minutes of XLA:CPU compile."""
+    import random
+
+    from halo2_tpu.circuits.hash_v1 import Hash1Circuit
+    from halo2_tpu.field import Fr
+    from halo2_tpu.kzg import ParamsKZG, create_proof, keygen, verify_proof
+    from halo2_tpu.plonkish import Value
+
+    k = 4
+    params = ParamsKZG.setup_cached(k)
+    circuit = Hash1Circuit(Fr, Value.known(Fr.from_u64(2)))
+    pk = keygen(params, circuit, k, Fr)
+    public = [Fr.from_u64(4)]
+    mesh = make_mesh(8)
+    p1 = create_proof(params, pk, circuit, [list(public)], rng=random.Random(11))
+    p2 = create_proof(
+        params, pk, circuit, [list(public)], rng=random.Random(11), mesh=mesh
+    )
+    assert p1 == p2
+    assert verify_proof(params.verifier_params(), pk.vk, p2, [list(public)])
