@@ -10,7 +10,8 @@ from __future__ import annotations
 import time
 
 from ..field.host import Fr
-from ..kzg import ParamsKZG, create_proof, keygen, verify_proof
+from ..kzg import ParamsKZG, create_proof, verify_proof
+from ..kzg.keygen import keygen_pk, keygen_vk
 
 
 def full_prover(circuit, k: int, public_input, seed: int = 0xD15C0, rng=None):
@@ -18,9 +19,12 @@ def full_prover(circuit, k: int, public_input, seed: int = 0xD15C0, rng=None):
     params = ParamsKZG.setup_cached(k, seed)
 
     t0 = time.perf_counter()
-    pk = keygen(params, circuit, k, Fr)
-    # vk and pk are generated in one pass; attribute the split like halo2
-    vk_time = pk_time = (time.perf_counter() - t0) / 2
+    vk = keygen_vk(params, circuit, k, Fr)
+    vk_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pk = keygen_pk(params, vk, circuit, k, Fr)
+    pk_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     proof = create_proof(params, pk, circuit, [list(public_input)], rng=rng)

@@ -46,6 +46,14 @@ def jac_infinity(batch=()):
     return jac(d.zeros(batch), d.one_mont(batch), d.zeros(batch))
 
 
+def _pvary(a, axes):
+    """`pcast(..., to='varying')` with a fallback for JAX builds that still
+    spell it `pvary` (the old name is deprecated as of jax 0.9)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(a, axes, to="varying")
+    return jax.lax.pvary(a, axes)
+
+
 def pvary_tree(x, axes):
     """Mark a jac pytree (or array pytree) device-varying over mesh axes.
 
@@ -63,7 +71,7 @@ def pvary_tree(x, axes):
         except Exception:
             cur = frozenset()
         need = tuple(ax for ax in axes if ax not in cur)
-        return jax.lax.pvary(a, need) if need else a
+        return _pvary(a, need) if need else a
 
     return jax.tree_util.tree_map(pv, x)
 

@@ -29,7 +29,6 @@ Engine poly representations:
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
@@ -207,14 +206,20 @@ class NativeEngine:
         return cache[key]
 
     # ---- transforms
-    @functools.lru_cache(maxsize=None)
     def _coset_powers_row(self):
+        # cached on the INSTANCE (an lru_cache on the method would key by
+        # self and pin every engine + its arrays for the process lifetime)
+        cached = getattr(self, "_coset_powers_row_cache", None)
+        if cached is not None:
+            return cached
         p = P
         g = self.domain.g_coset
         pows = [1] * self.ext_n
         for i in range(1, self.ext_n):
             pows[i] = pows[i - 1] * g % p
-        return self.native.pack_ints(pows)
+        cached = self.native.pack_ints(pows)
+        self._coset_powers_row_cache = cached
+        return cached
 
     def coeff_to_extended(self, coeffs):
         return self.coeff_to_extended_many([coeffs])[0]
@@ -252,13 +257,21 @@ class NativeEngine:
     def mul_ext(self, a, b):
         return self.native.mul_fr(a, b)
 
-    @functools.lru_cache(maxsize=None)
     def vanishing_inv_extended(self):
-        return self.native.pack_ints(
-            list(self.domain.vanishing_inv_extended_ints())
-        )
+        cached = getattr(self, "_vanish_inv_cache", None)
+        if cached is None:
+            cached = self.native.pack_ints(
+                list(self.domain.vanishing_inv_extended_ints())
+            )
+            self._vanish_inv_cache = cached
+        return cached
 
     def quotient_eval(self, columns_ext, combined_expr, rot_scale):
+        # the native path runs the precompiled quotient Program; it is only
+        # valid for the structure's own combined quotient expression
+        assert combined_expr is self.st.combined_quotient(), (
+            "NativeEngine.quotient_eval only evaluates st.combined_quotient()"
+        )
         prog = self.st.quotient_program(rot_scale)
         rows = []
         for kind, ci, rot in prog.queries:

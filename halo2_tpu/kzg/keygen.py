@@ -454,30 +454,32 @@ def _intt_columns(domain, dfr, values_lists, n):
     return jnp.stack([domain.lagrange_to_coeff(dfr.encode(v)) for v in values_lists])
 
 
-def keygen(params, circuit, k: int, F) -> ProvingKey:
-    """vk+pk in one pass (halo2 splits keygen_vk/keygen_pk; we share work)."""
+def _synthesize_columns(circuit, k: int, F):
+    """Witness-free synthesis -> (structure, fixed/sigma value lists, coeffs).
+
+    The shared body of keygen_vk / keygen_pk (halo2 runs this synthesis once
+    per entry point too — reference src/circuits/utils.rs:31-36)."""
     circuit_no_wit = circuit.without_witnesses()
     cs, _config, assignment = run_synthesis(circuit_no_wit, k, [], witness=False, field=F)
     fin = assignment.finalize()
     structure = PlonkStructure(cs, k)
-    domain = structure.domain
     dfr = get_device_field(FR)
 
     fixed_values = [list(col) for col in fin.fixed] + [list(s) for s in fin.selectors]
     sigma_values = structure.build_sigma_values(fin.copies)
 
-    fixed_coeffs = _intt_columns(domain, dfr, fixed_values, structure.n)
-    sigma_coeffs = _intt_columns(domain, dfr, sigma_values, structure.n)
+    fixed_coeffs = _intt_columns(structure.domain, dfr, fixed_values, structure.n)
+    sigma_coeffs = _intt_columns(structure.domain, dfr, sigma_values, structure.n)
+    return structure, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs
 
-    all_coeffs = [fixed_coeffs[i] for i in range(len(fixed_values))] + [
-        sigma_coeffs[i] for i in range(len(sigma_values))
+
+def _vk_from_coeffs(params, k, structure, nfixed, fixed_coeffs, sigma_coeffs):
+    all_coeffs = [fixed_coeffs[i] for i in range(nfixed)] + [
+        sigma_coeffs[i] for i in range(sigma_coeffs.shape[0])
     ]
-    if all_coeffs:
-        all_commitments = commit_coeffs_batch(params, all_coeffs)
-    else:
-        all_commitments = []
-    fixed_commitments = all_commitments[: len(fixed_values)]
-    sigma_commitments = all_commitments[len(fixed_values) :]
+    all_commitments = commit_coeffs_batch(params, all_coeffs) if all_coeffs else []
+    fixed_commitments = all_commitments[:nfixed]
+    sigma_commitments = all_commitments[nfixed:]
 
     import hashlib
 
@@ -487,8 +489,39 @@ def keygen(params, circuit, k: int, F) -> ProvingKey:
         x, y = ec.g1_to_ints(pt)
         h.update(x.to_bytes(32, "little") + y.to_bytes(32, "little"))
     digest = int.from_bytes(h.digest(), "little") % FR.p
+    return VerifyingKey(k, structure, fixed_commitments, sigma_commitments, digest)
 
-    vk = VerifyingKey(k, structure, fixed_commitments, sigma_commitments, digest)
+
+def keygen_vk(params, circuit, k: int, F) -> VerifyingKey:
+    """Verifying key alone: synthesis, fixed/sigma iNTTs, commitments, digest
+    (halo2 `keygen_vk`, reference src/circuits/utils.rs:31-32)."""
+    structure, fixed_values, _sv, fixed_coeffs, sigma_coeffs = _synthesize_columns(
+        circuit, k, F
+    )
+    return _vk_from_coeffs(
+        params, k, structure, len(fixed_values), fixed_coeffs, sigma_coeffs
+    )
+
+
+def keygen_pk(params, vk: VerifyingKey, circuit, k: int, F) -> ProvingKey:
+    """Proving key from an existing vk: re-synthesizes and rebuilds the
+    fixed/sigma polynomials (halo2 `keygen_pk` re-runs synthesis the same
+    way, reference src/circuits/utils.rs:34-36)."""
+    _st, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs = (
+        _synthesize_columns(circuit, k, F)
+    )
+    return ProvingKey(vk, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs)
+
+
+def keygen(params, circuit, k: int, F) -> ProvingKey:
+    """vk+pk in one fused pass (synthesis/iNTT work shared; the split entry
+    points above match halo2's API and are what full_prover times)."""
+    structure, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs = (
+        _synthesize_columns(circuit, k, F)
+    )
+    vk = _vk_from_coeffs(
+        params, k, structure, len(fixed_values), fixed_coeffs, sigma_coeffs
+    )
     return ProvingKey(vk, fixed_values, sigma_values, fixed_coeffs, sigma_coeffs)
 
 

@@ -34,10 +34,29 @@ _LIB = None
 _TRIED = False
 
 
+def _isa_tag() -> str:
+    """Host ISA fingerprint folded into the cached .so name: the build uses
+    -march=native, so a repo dir shared between machines (NFS, copies) must
+    not dlopen a binary built for another CPU's feature set."""
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags") or line.startswith("Features"):
+                    feats = "".join(sorted(line.split(":", 1)[1].split()))
+                    tag += "-" + hashlib.sha256(feats.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return tag
+
+
 def _build() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(_DIR, f"_engine_{digest}.so")
+    out = os.path.join(_DIR, f"_engine_{digest}_{_isa_tag()}.so")
     if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"

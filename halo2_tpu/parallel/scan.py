@@ -47,7 +47,9 @@ def _sharded_prefix_product_raw(mesh: Mesh, spec, axis: str, n: int):
         # the carry starts replicated but turns device-varying at the first
         # iteration (idx = axis_index); mark it varying up front so the
         # full vma soundness check can stay ON (round-3 VERDICT item 7)
-        off = jax.lax.fori_loop(0, S, body, jax.lax.pvary(df.one_mont(()), axis))
+        from ..ec.device import _pvary
+
+        off = jax.lax.fori_loop(0, S, body, _pvary(df.one_mont(()), axis))
         return df.mul(pref, off[:, None])
 
     return jax.shard_map(

@@ -46,7 +46,7 @@ def main() -> dict:
         compute_merkle_sum_root,
     )
     from halo2_tpu.field import Fr
-    from halo2_tpu.kzg import ParamsKZG, create_proof, keygen, verify_proof
+    from halo2_tpu.kzg import ParamsKZG, create_proof, verify_proof
     from halo2_tpu.kzg.keygen import keygen_cached
     from halo2_tpu.kzg.prover import PHASE_TIMINGS
 
@@ -77,16 +77,28 @@ def main() -> dict:
     params = ParamsKZG.setup_cached(k)
     print(f"SRS k={k} ready in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    vk_time = pk_time = None
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        ".srs",
+        f"pk_mst_d{depth}_k{k}.pkl",
+    )
     t0 = time.perf_counter()
-    if args.no_pk_cache:
-        pk = keygen(params, circuit, k, Fr)
+    if args.no_pk_cache or not os.path.exists(cache):
+        # cold path: the two halo2 entry points, individually measured
+        # (reference src/circuits/utils.rs:31-36 times them separately)
+        from halo2_tpu.kzg import keygen_pk, keygen_vk
+
+        vk = keygen_vk(params, circuit, k, Fr)
+        vk_time = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        pk = keygen_pk(params, vk, circuit, k, Fr)
+        pk_time = time.perf_counter() - t1
+        if not args.no_pk_cache:
+            os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
+            pk.save(cache)
     else:
-        cache = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "..",
-            ".srs",
-            f"pk_mst_d{depth}_k{k}.pkl",
-        )
         pk = keygen_cached(params, circuit, k, Fr, cache)
     keygen_time = time.perf_counter() - t0
 
@@ -115,15 +127,18 @@ def main() -> dict:
     bad_public[2] = bad_public[2] + Fr.from_u64(1)
     assert not verify_proof(params.verifier_params(), pk.vk, proof, [bad_public])
 
-    # keygen here builds vk+pk in one fused pass (kzg/keygen.keygen shares
-    # the synthesis/commitment work halo2 splits across keygen_vk/keygen_pk,
-    # reference src/circuits/utils.rs:30-36), so one honest combined line:
-    print(f"Time to generate vk+pk (fused keygen) {keygen_time:.3f}s")
+    if vk_time is not None:
+        print(f"Time to generate vk {vk_time:.3f}s")
+        print(f"Time to generate pk {pk_time:.3f}s")
+    else:
+        print(f"Time to load vk+pk from cache {keygen_time:.3f}s")
     print(f"Prover Time {proof_time:.3f}s")
     print(f"Verifier Time {verify_time:.3f}s")
     summary = {
         "workload": f"merkle_sum_tree depth={depth} k={k} KZG",
         "keygen_s": round(keygen_time, 3),
+        "keygen_vk_s": round(vk_time, 3) if vk_time is not None else None,
+        "keygen_pk_s": round(pk_time, 3) if pk_time is not None else None,
         "prove_s": round(proof_time, 3),
         "verify_s": round(verify_time, 3),
         "proof_bytes": len(proof),
