@@ -163,7 +163,8 @@ def shplonk_verify(params, transcript, commitments, queries, evals) -> bool:
     labels = sorted(points_of)
     T = sorted({pt for _, pt in queries})
 
-    e_acc = None  # commitment combination
+    # one linear combination: sum coeff_i C_i - scalar_g G1 - zt_u C_h + u C_w
+    lc_points, lc_scalars = [], []
     scalar_g = 0  # coefficient of G1 generator (from the r_i(u) constants)
     vi = 1
     for label in labels:
@@ -174,16 +175,16 @@ def shplonk_verify(params, transcript, commitments, queries, evals) -> bool:
                 z_u = z_u * ((u_pt - t) % P) % P
         r = lagrange_interp(S, [evals[(label, s)] for s in S])
         coeff = vi * z_u % P
-        e_acc = ec.ec_add(e_acc, ec.ec_mul(commitments[label], coeff))
+        lc_points.append(commitments[label])
+        lc_scalars.append(coeff)
         scalar_g = (scalar_g + coeff * poly_eval(r, u_pt)) % P
         vi = vi * v % P
     zt_u = 1
     for t in T:
         zt_u = zt_u * ((u_pt - t) % P) % P
-    e_acc = ec.ec_add(e_acc, ec.ec_mul(ec.G1, (-scalar_g) % P))
-    e_acc = ec.ec_add(e_acc, ec.ec_mul(c_h, (-zt_u) % P))
-
-    lhs = ec.ec_add(e_acc, ec.ec_mul(c_w, u_pt))
+    lc_points += [ec.G1, c_h, c_w]
+    lc_scalars += [(-scalar_g) % P, (-zt_u) % P, u_pt]
+    lhs = ec.g1_lincomb(lc_points, lc_scalars)
     return ec.pairing_product_is_one(
         [(lhs, params.g2), (ec.ec_neg(c_w), params.s_g2)]
     )

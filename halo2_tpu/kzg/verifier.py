@@ -131,11 +131,12 @@ def verify_proof(params, vk: VerifyingKey, proof: bytes, instances) -> bool:
     # fold h pieces: C_h = sum x^{n i} C_i
     from ..ec import host as ec
 
-    c_h = None
+    factors = []
     factor = 1
-    for c in h_commitments:
-        c_h = ec.ec_add(c_h, ec.ec_mul(c, factor))
+    for _ in h_commitments:
+        factors.append(factor)
         factor = factor * xn % P
+    c_h = ec.g1_lincomb(h_commitments, factors)
     commitments[("h", 0)] = c_h
 
     ok = shplonk_verify(params, transcript, commitments, queries, evals)

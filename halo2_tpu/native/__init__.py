@@ -111,6 +111,11 @@ def _load():
             u64p, ctypes.c_size_t, ctypes.c_size_t,
             i32p, ctypes.c_size_t, i32p, ctypes.c_size_t, u64p,
         ]
+        lib.h2t_pairing_product_is_one.argtypes = [
+            u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
+        ]
+        lib.h2t_pairing_product_is_one.restype = ctypes.c_int
+        lib.h2t_pairing.argtypes = [u64p, u64p, u64p]
         _LIB = lib
         return _LIB
 
@@ -309,6 +314,55 @@ def expr_eval_fr(base: np.ndarray, instrs: np.ndarray, out_slots, n: int) -> np.
         slots.ctypes.data_as(i32), nout, _ptr(out),
     )
     return out
+
+
+_FINAL_EXP_WORDS = None
+
+
+def _final_exp_words() -> np.ndarray:
+    """(p^12 - 1) / r as little-endian u64 words (computed once host-side;
+    the C++ side exponentiates by whatever words it is given)."""
+    global _FINAL_EXP_WORDS
+    if _FINAL_EXP_WORDS is None:
+        from ..field.params import BN254_FQ, BN254_FR
+
+        e = (BN254_FQ.p**12 - 1) // BN254_FR.p
+        words = []
+        while e:
+            words.append(e & ((1 << 64) - 1))
+            e >>= 64
+        _FINAL_EXP_WORDS = np.array(words, np.uint64)
+    return _FINAL_EXP_WORDS
+
+
+def pairing_product_is_one(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 over BN254.  pairs: iterable of
+    ((px, py), ((qx0, qx1), (qy0, qy1))) host ints, canonical; (0, 0) /
+    all-zero marks infinity (skipped).  Native optimal-ate + single final
+    exponentiation — the verifier hot path (reference verify_proof,
+    src/circuits/utils.rs:56-63)."""
+    lib = _load()
+    flat = []
+    for (px, py), ((qx0, qx1), (qy0, qy1)) in pairs:
+        flat.extend([px, py, qx0, qx1, qy0, qy1])
+    arr = pack_ints(flat).reshape(-1)
+    e = np.ascontiguousarray(_final_exp_words())
+    r = lib.h2t_pairing_product_is_one(
+        _ptr(arr), len(flat) // 6, _ptr(e), e.shape[0]
+    )
+    return r == 1
+
+
+def miller_loop_direct(p_xy, q_xyxy) -> list:
+    """Miller loop (no final exp) -> 12 direct-basis FQ12 coefficients
+    (host ints) for cross-checking against ec/host.py.  p_xy = (px, py),
+    q_xyxy = ((qx0, qx1), (qy0, qy1)), canonical ints."""
+    lib = _load()
+    p = pack_ints(list(p_xy)).reshape(-1)
+    q = pack_ints([q_xyxy[0][0], q_xyxy[0][1], q_xyxy[1][0], q_xyxy[1][1]]).reshape(-1)
+    out = np.zeros(48, np.uint64)
+    lib.h2t_pairing(_ptr(p), _ptr(q), _ptr(out))
+    return unpack_ints(out.reshape(12, 4))
 
 
 def poly_eval_fr(poly: np.ndarray, xs: list) -> list:

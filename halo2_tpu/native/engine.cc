@@ -604,6 +604,417 @@ static void ntt_mont(Fp4 *a, size_t n, bool inverse) {
 
 static const FieldCtx &ctx_of(int field) { return field == 0 ? FR : FQ; }
 
+// ------------------------------------------------------------ pairing tower
+// BN254 optimal-ate pairing for the KZG verifier (reference verify_proof,
+// src/circuits/utils.rs:56-63, runs halo2curves' native pairing; the Python
+// fallback in ec/host.py costs ~2 s per verify on the naive final
+// exponentiation).  Tower: Fq2 = Fq[i]/(i^2+1), Fq6 = Fq2[v]/(v^3 - xi)
+// with xi = 9 + i, Fq12 = Fq6[w]/(w^2 - v).  Same field as ec/host.py's
+// direct basis (w^6 = xi gives w^12 - 18 w^6 + 82 = 0); the Miller loop is
+// the same affine construction, so results agree exactly.
+
+struct Fq2 {
+  Fp4 c0, c1;  // c0 + c1*i, components Montgomery
+};
+
+static inline void fq2_add(const Fq2 &a, const Fq2 &b, Fq2 &o) {
+  fp_add(FQ, a.c0, b.c0, o.c0);
+  fp_add(FQ, a.c1, b.c1, o.c1);
+}
+static inline void fq2_sub(const Fq2 &a, const Fq2 &b, Fq2 &o) {
+  fp_sub(FQ, a.c0, b.c0, o.c0);
+  fp_sub(FQ, a.c1, b.c1, o.c1);
+}
+static inline void fq2_neg(const Fq2 &a, Fq2 &o) {
+  fp_neg(FQ, a.c0, o.c0);
+  fp_neg(FQ, a.c1, o.c1);
+}
+static inline void fq2_conj(const Fq2 &a, Fq2 &o) {
+  o.c0 = a.c0;
+  fp_neg(FQ, a.c1, o.c1);
+}
+static inline void fq2_mul(const Fq2 &a, const Fq2 &b, Fq2 &o) {
+  Fp4 t0, t1, t2, t3;
+  fp_mul(FQ, a.c0, b.c0, t0);
+  fp_mul(FQ, a.c1, b.c1, t1);
+  fp_mul(FQ, a.c0, b.c1, t2);
+  fp_mul(FQ, a.c1, b.c0, t3);
+  fp_sub(FQ, t0, t1, o.c0);  // a0b0 - a1b1
+  fp_add(FQ, t2, t3, o.c1);  // a0b1 + a1b0
+}
+static inline void fq2_sqr(const Fq2 &a, Fq2 &o) { fq2_mul(a, a, o); }
+static inline void fq2_mul_fp(const Fq2 &a, const Fp4 &s, Fq2 &o) {
+  fp_mul(FQ, a.c0, s, o.c0);
+  fp_mul(FQ, a.c1, s, o.c1);
+}
+static inline bool fq2_is_zero(const Fq2 &a) {
+  return fp_is_zero(a.c0) && fp_is_zero(a.c1);
+}
+static inline bool fq2_eq(const Fq2 &a, const Fq2 &b) {
+  return fp_eq(a.c0, b.c0) && fp_eq(a.c1, b.c1);
+}
+static inline void fq2_inv(const Fq2 &a, Fq2 &o) {
+  // 1/(c0 + c1 i) = (c0 - c1 i) / (c0^2 + c1^2)
+  Fp4 t0, t1, d;
+  fp_sqr(FQ, a.c0, t0);
+  fp_sqr(FQ, a.c1, t1);
+  fp_add(FQ, t0, t1, d);
+  fp_inv(FQ, d, d);
+  fp_mul(FQ, a.c0, d, o.c0);
+  fp_mul(FQ, a.c1, d, t0);
+  fp_neg(FQ, t0, o.c1);
+}
+// xi = 9 + i (the sextic non-residue of the tower)
+static inline void fq2_mul_xi(const Fq2 &a, Fq2 &o) {
+  // (9 a0 - a1) + (a0 + 9 a1) i, via shift-free repeated adds
+  Fp4 a0x9, a1x9, t;
+  fp_add(FQ, a.c0, a.c0, t);
+  fp_add(FQ, t, t, t);
+  fp_add(FQ, t, t, a0x9);
+  fp_add(FQ, a0x9, a.c0, a0x9);  // 9 a0
+  fp_add(FQ, a.c1, a.c1, t);
+  fp_add(FQ, t, t, t);
+  fp_add(FQ, t, t, a1x9);
+  fp_add(FQ, a1x9, a.c1, a1x9);  // 9 a1
+  Fp4 c0, c1;
+  fp_sub(FQ, a0x9, a.c1, c0);
+  fp_add(FQ, a.c0, a1x9, c1);
+  o.c0 = c0;
+  o.c1 = c1;
+}
+
+struct Fq6 {
+  Fq2 c0, c1, c2;  // c0 + c1 v + c2 v^2
+};
+
+static inline void fq6_add(const Fq6 &a, const Fq6 &b, Fq6 &o) {
+  fq2_add(a.c0, b.c0, o.c0);
+  fq2_add(a.c1, b.c1, o.c1);
+  fq2_add(a.c2, b.c2, o.c2);
+}
+static inline void fq6_sub(const Fq6 &a, const Fq6 &b, Fq6 &o) {
+  fq2_sub(a.c0, b.c0, o.c0);
+  fq2_sub(a.c1, b.c1, o.c1);
+  fq2_sub(a.c2, b.c2, o.c2);
+}
+static inline void fq6_neg(const Fq6 &a, Fq6 &o) {
+  fq2_neg(a.c0, o.c0);
+  fq2_neg(a.c1, o.c1);
+  fq2_neg(a.c2, o.c2);
+}
+static void fq6_mul(const Fq6 &a, const Fq6 &b, Fq6 &o) {
+  Fq2 a0b0, a1b1, a2b2, t0, t1, t2;
+  fq2_mul(a.c0, b.c0, a0b0);
+  fq2_mul(a.c1, b.c1, a1b1);
+  fq2_mul(a.c2, b.c2, a2b2);
+  // c0 = a0b0 + xi (a1b2 + a2b1)
+  fq2_mul(a.c1, b.c2, t0);
+  fq2_mul(a.c2, b.c1, t1);
+  fq2_add(t0, t1, t0);
+  fq2_mul_xi(t0, t0);
+  Fq2 c0, c1, c2;
+  fq2_add(a0b0, t0, c0);
+  // c1 = a0b1 + a1b0 + xi a2b2
+  fq2_mul(a.c0, b.c1, t0);
+  fq2_mul(a.c1, b.c0, t1);
+  fq2_add(t0, t1, t0);
+  fq2_mul_xi(a2b2, t2);
+  fq2_add(t0, t2, c1);
+  // c2 = a0b2 + a1b1 + a2b0
+  fq2_mul(a.c0, b.c2, t0);
+  fq2_mul(a.c2, b.c0, t1);
+  fq2_add(t0, t1, t0);
+  fq2_add(t0, a1b1, c2);
+  o.c0 = c0;
+  o.c1 = c1;
+  o.c2 = c2;
+}
+// multiply by v: (c0, c1, c2) -> (xi c2, c0, c1)
+static inline void fq6_mul_v(const Fq6 &a, Fq6 &o) {
+  Fq2 t;
+  fq2_mul_xi(a.c2, t);
+  o.c2 = a.c1;
+  o.c1 = a.c0;
+  o.c0 = t;
+}
+static void fq6_inv(const Fq6 &a, Fq6 &o) {
+  // standard v^3 = xi tower inversion
+  Fq2 t0, t1, t2, d, tmp;
+  fq2_sqr(a.c0, t0);
+  fq2_mul(a.c1, a.c2, tmp);
+  fq2_mul_xi(tmp, tmp);
+  fq2_sub(t0, tmp, t0);  // t0 = c0^2 - xi c1 c2
+  fq2_sqr(a.c2, t1);
+  fq2_mul_xi(t1, t1);
+  fq2_mul(a.c0, a.c1, tmp);
+  fq2_sub(t1, tmp, t1);  // t1 = xi c2^2 - c0 c1
+  fq2_sqr(a.c1, t2);
+  fq2_mul(a.c0, a.c2, tmp);
+  fq2_sub(t2, tmp, t2);  // t2 = c1^2 - c0 c2
+  // d = c0 t0 + xi (c2 t1 + c1 t2)
+  Fq2 s;
+  fq2_mul(a.c2, t1, s);
+  fq2_mul(a.c1, t2, tmp);
+  fq2_add(s, tmp, s);
+  fq2_mul_xi(s, s);
+  fq2_mul(a.c0, t0, tmp);
+  fq2_add(tmp, s, d);
+  fq2_inv(d, d);
+  fq2_mul(t0, d, o.c0);
+  fq2_mul(t1, d, o.c1);
+  fq2_mul(t2, d, o.c2);
+}
+static inline bool fq6_is_zero(const Fq6 &a) {
+  return fq2_is_zero(a.c0) && fq2_is_zero(a.c1) && fq2_is_zero(a.c2);
+}
+
+struct Fq12 {
+  Fq6 c0, c1;  // c0 + c1 w
+};
+
+static void fq12_mul(const Fq12 &a, const Fq12 &b, Fq12 &o) {
+  Fq6 a0b0, a1b1, t0, t1;
+  fq6_mul(a.c0, b.c0, a0b0);
+  fq6_mul(a.c1, b.c1, a1b1);
+  fq6_mul_v(a1b1, t0);
+  Fq6 c0, c1;
+  fq6_add(a0b0, t0, c0);  // a0b0 + v a1b1
+  fq6_mul(a.c0, b.c1, t0);
+  fq6_mul(a.c1, b.c0, t1);
+  fq6_add(t0, t1, c1);
+  o.c0 = c0;
+  o.c1 = c1;
+}
+static inline void fq12_sqr(const Fq12 &a, Fq12 &o) { fq12_mul(a, a, o); }
+static void fq12_inv(const Fq12 &a, Fq12 &o) {
+  // 1/(a0 + a1 w) = (a0 - a1 w) / (a0^2 - v a1^2)
+  Fq6 t0, t1, d;
+  fq6_mul(a.c0, a.c0, t0);
+  fq6_mul(a.c1, a.c1, t1);
+  fq6_mul_v(t1, t1);
+  fq6_sub(t0, t1, d);
+  fq6_inv(d, d);
+  fq6_mul(a.c0, d, o.c0);
+  fq6_mul(a.c1, d, t0);
+  fq6_neg(t0, o.c1);
+}
+static inline void fq12_one(Fq12 &o) {
+  memset(&o, 0, sizeof(o));
+  o.c0.c0.c0 = FQ.one;
+}
+static inline bool fq12_is_one(const Fq12 &a) {
+  Fq12 one;
+  fq12_one(one);
+  return memcmp(&a, &one, sizeof(a)) == 0;
+}
+
+// ---- pairing constants (computed once: exponents are 4-limb divisions)
+// divide a 4-limb big-endian-normalised value by a small constant
+static void limbs_div_small(const Fp4 &a, u64 d, Fp4 &o) {
+  u128 rem = 0;
+  for (int i = 3; i >= 0; i--) {
+    u128 cur = (rem << 64) | a.l[i];
+    o.l[i] = (u64)(cur / d);
+    rem = cur % d;
+  }
+}
+
+struct PairingConsts {
+  Fq2 xi;        // 9 + i (Montgomery)
+  Fq2 cx, cy;    // xi^((p-1)/3), xi^((p-1)/2): twisted-point Frobenius
+  Fp4 cx2, cy2;  // norms cx*conj(cx), cy*conj(cy) in Fq (for pi^2)
+  Fp4 b3;        // 3 in Montgomery (G1 curve b) -- unused, kept for clarity
+};
+
+static void fq2_pow(const Fq2 &a, const Fp4 &e, Fq2 &o) {
+  Fq2 acc, base = a;
+  memset(&acc, 0, sizeof(acc));
+  acc.c0 = FQ.one;
+  for (int w = 0; w < 4; w++) {
+    u64 bits = e.l[w];
+    for (int b = 0; b < 64; b++) {
+      if (bits & 1) fq2_mul(acc, base, acc);
+      fq2_sqr(base, base);
+      bits >>= 1;
+    }
+  }
+  o = acc;
+}
+
+static const PairingConsts &pairing_consts() {
+  static PairingConsts C;
+  static bool init = false;
+  if (!init) {
+    Fp4 nine = {{9, 0, 0, 0}};
+    fp_to_mont(FQ, nine, nine);
+    C.xi.c0 = nine;
+    C.xi.c1 = FQ.one;
+    Fp4 pm1 = FQ.p;
+    pm1.l[0] -= 1;  // p - 1 (p odd)
+    Fp4 e3, e2;
+    limbs_div_small(pm1, 3, e3);
+    limbs_div_small(pm1, 2, e2);
+    fq2_pow(C.xi, e3, C.cx);
+    fq2_pow(C.xi, e2, C.cy);
+    // cx2 = cx * conj(cx) = |cx|^2 in Fq; same for cy
+    Fp4 t0, t1;
+    fp_sqr(FQ, C.cx.c0, t0);
+    fp_sqr(FQ, C.cx.c1, t1);
+    fp_add(FQ, t0, t1, C.cx2);
+    fp_sqr(FQ, C.cy.c0, t0);
+    fp_sqr(FQ, C.cy.c1, t1);
+    fp_add(FQ, t0, t1, C.cy2);
+    init = true;
+  }
+  return C;
+}
+
+// ---- affine G2 (twisted curve) + sparse line into the Fq12 tower.
+// Line through T, Q (twisted affine coords) evaluated at P = (xp, yp) in G1:
+//   l = -yp + (m xp) w + (y1 - m x1) w^3        (slope m in Fq2)
+// with w coefficients living at c1.c0 (w) and c1.c1 (w^3 = v w) of the
+// tower; the vertical line (x2 == x1, y2 == -y1) is l = xp - x1 w^2
+// (w^2 = v -> c0.c1).  Mirrors ec/host.py's _linefunc exactly.
+struct G2A {
+  Fq2 x, y;
+  bool inf;
+};
+
+static void line_into(const Fq2 &m, const Fq2 &x1, const Fq2 &y1,
+                      const Fp4 &xp_m, const Fp4 &yp_m, Fq12 &l) {
+  memset(&l, 0, sizeof(l));
+  Fp4 nyp;
+  fp_neg(FQ, yp_m, nyp);
+  l.c0.c0.c0 = nyp;                 // -yp
+  fq2_mul_fp(m, xp_m, l.c1.c0);     // (m xp) w
+  Fq2 t;
+  fq2_mul(m, x1, t);
+  fq2_sub(y1, t, l.c1.c1);          // (y1 - m x1) w^3
+}
+
+static void vline_into(const Fq2 &x1, const Fp4 &xp_m, Fq12 &l) {
+  memset(&l, 0, sizeof(l));
+  l.c0.c0.c0 = xp_m;                // xp
+  fq2_neg(x1, l.c0.c1);             // - x1 w^2
+}
+
+// l(T, Q) evaluated at P; advances T <- T + Q.  Handles T == Q (tangent)
+// and T == -Q (vertical) like ec/host.py's _linefunc / ec_add.
+static void miller_step(G2A &t, const G2A &q, const Fp4 &xp_m,
+                        const Fp4 &yp_m, Fq12 &l) {
+  Fq2 m, num, den;
+  if (!fq2_eq(t.x, q.x)) {
+    fq2_sub(q.y, t.y, num);
+    fq2_sub(q.x, t.x, den);
+    fq2_inv(den, den);
+    fq2_mul(num, den, m);
+    line_into(m, t.x, t.y, xp_m, yp_m, l);
+    // T = T + Q
+    Fq2 x3, y3, tmp;
+    fq2_sqr(m, x3);
+    fq2_sub(x3, t.x, x3);
+    fq2_sub(x3, q.x, x3);
+    fq2_sub(t.x, x3, tmp);
+    fq2_mul(m, tmp, y3);
+    fq2_sub(y3, t.y, y3);
+    t.x = x3;
+    t.y = y3;
+  } else if (fq2_eq(t.y, q.y)) {
+    // tangent: m = 3 x^2 / (2 y)
+    Fq2 x2;
+    fq2_sqr(t.x, x2);
+    fq2_add(x2, x2, num);
+    fq2_add(num, x2, num);
+    fq2_add(t.y, t.y, den);
+    fq2_inv(den, den);
+    fq2_mul(num, den, m);
+    line_into(m, t.x, t.y, xp_m, yp_m, l);
+    Fq2 x3, y3, tmp;
+    fq2_sqr(m, x3);
+    fq2_sub(x3, t.x, x3);
+    fq2_sub(x3, t.x, x3);
+    fq2_sub(t.x, x3, tmp);
+    fq2_mul(m, tmp, y3);
+    fq2_sub(y3, t.y, y3);
+    t.x = x3;
+    t.y = y3;
+  } else {
+    vline_into(t.x, xp_m, l);
+    t.inf = true;  // T + (-T) = infinity (never hit mid-loop for order-r Q)
+  }
+}
+
+// optimal-ate loop count 6u+2 = 2^64 + ATE_LOW (the MSB is consumed by
+// initializing T = Q, as in ec/host.py's LOG_ATE_LOOP_COUNT=63 convention)
+static const u64 ATE_LOW = 11347224129447541672ULL;
+
+// Miller loop WITHOUT final exponentiation.  p / q given canonical affine;
+// accumulates into f (caller chains multiple pairs before one final exp).
+static void miller_accumulate(const Fp4 &px, const Fp4 &py, const Fq2 &qx,
+                              const Fq2 &qy, Fq12 &f) {
+  const PairingConsts &C = pairing_consts();
+  Fp4 xp_m, yp_m;
+  fp_to_mont(FQ, px, xp_m);
+  fp_to_mont(FQ, py, yp_m);
+  Fq2 qxm, qym;
+  fp_to_mont(FQ, qx.c0, qxm.c0);
+  fp_to_mont(FQ, qx.c1, qxm.c1);
+  fp_to_mont(FQ, qy.c0, qym.c0);
+  fp_to_mont(FQ, qy.c1, qym.c1);
+  G2A q = {qxm, qym, false};
+  G2A t = q;
+  Fq12 l;
+  for (int i = 63; i >= 0; i--) {
+    fq12_sqr(f, f);
+    miller_step(t, t, xp_m, yp_m, l);  // tangent (T == T path)
+    fq12_mul(f, l, f);
+    if ((ATE_LOW >> i) & 1) {
+      miller_step(t, q, xp_m, yp_m, l);
+      fq12_mul(f, l, f);
+    }
+  }
+  // q1 = pi_p(Q): (conj(x) cx, conj(y) cy); nq2 = (x cx2, -(y cy2))
+  G2A q1, nq2;
+  Fq2 cj;
+  fq2_conj(q.x, cj);
+  fq2_mul(cj, C.cx, q1.x);
+  fq2_conj(q.y, cj);
+  fq2_mul(cj, C.cy, q1.y);
+  q1.inf = false;
+  fq2_mul_fp(q.x, C.cx2, nq2.x);
+  fq2_mul_fp(q.y, C.cy2, nq2.y);
+  fq2_neg(nq2.y, nq2.y);
+  nq2.inf = false;
+  miller_step(t, q1, xp_m, yp_m, l);
+  fq12_mul(f, l, f);
+  miller_step(t, nq2, xp_m, yp_m, l);
+  fq12_mul(f, l, f);
+}
+
+// f^e for a word-array exponent (little-endian u64s, canonical)
+static void fq12_pow_words(const Fq12 &a, const u64 *e, size_t nw, Fq12 &o) {
+  Fq12 acc;
+  fq12_one(acc);
+  // left-to-right square-and-multiply (skip leading zero words)
+  int top = (int)nw - 1;
+  while (top >= 0 && e[top] == 0) top--;
+  bool started = false;
+  for (int w = top; w >= 0; w--) {
+    for (int b = 63; b >= 0; b--) {
+      if (started) fq12_sqr(acc, acc);
+      if ((e[w] >> b) & 1) {
+        if (!started) {
+          acc = a;
+          started = true;
+        } else {
+          fq12_mul(acc, a, acc);
+        }
+      }
+    }
+  }
+  o = acc;
+}
+
 }  // namespace
 
 // ====================================================================== ABI
@@ -894,6 +1305,90 @@ void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
       for (size_t ci = t; ci < nchunks; ci += (size_t)nt) run(ci);
     });
   for (auto &th : threads) th.join();
+}
+
+// Pairing product check: returns 1 iff prod_i e(P_i, Q_i) == 1.
+// pairs: npairs * 24 u64 = per pair [px(4), py(4), qx0(4), qx1(4), qy0(4),
+// qy1(4)] canonical; a pair with P == (0,0) or Q == (0,...,0) is skipped
+// (infinity), matching ec/host.py pairing_product_is_one.
+// fexp: little-endian u64 words of the final exponent (p^12 - 1)/r,
+// computed host-side (the easy/hard split is unnecessary at this budget:
+// the whole check runs in ~30 ms).
+int h2t_pairing_product_is_one(const u64 *pairs, size_t npairs,
+                               const u64 *fexp, size_t nw) {
+  Fq12 f;
+  fq12_one(f);
+  bool any = false;
+  for (size_t i = 0; i < npairs; i++) {
+    const u64 *e = pairs + 24 * i;
+    Fp4 px, py;
+    memcpy(px.l, e, 32);
+    memcpy(py.l, e + 4, 32);
+    Fq2 qx, qy;
+    memcpy(qx.c0.l, e + 8, 32);
+    memcpy(qx.c1.l, e + 12, 32);
+    memcpy(qy.c0.l, e + 16, 32);
+    memcpy(qy.c1.l, e + 20, 32);
+    if (fp_is_zero(px) && fp_is_zero(py)) continue;
+    if (fq2_is_zero(qx) && fq2_is_zero(qy)) continue;
+    // each pair's Miller loop runs on its OWN accumulator (the in-loop
+    // squarings must not touch the previous pairs' product)
+    Fq12 fi;
+    fq12_one(fi);
+    miller_accumulate(px, py, qx, qy, fi);
+    fq12_mul(f, fi, f);
+    any = true;
+  }
+  if (!any) return 1;
+  Fq12 out;
+  fq12_pow_words(f, fexp, nw, out);
+  return fq12_is_one(out) ? 1 : 0;
+}
+
+// Miller loop value (NO final exponentiation) of one pair -> 12 Fq
+// components (canonical), in the DIRECT basis of ec/host.py's FQ12
+// (coefficients of w^0..w^11) so the two implementations can be
+// cross-checked coefficient-by-coefficient (tests/test_native.py).
+// Tower -> direct: element = sum_{j<6} (c[j].c0 + c[j].c1 * i) * w^perm(j)
+// with i = w^6 - 9, so direct[k] picks up c.c0 at w^k and c.c1 at w^(k+6)
+// minus 9*c.c1 at w^k.
+void h2t_pairing(const u64 *p_xy, const u64 *q_xyxy, u64 *out12) {
+  Fp4 px, py;
+  memcpy(px.l, p_xy, 32);
+  memcpy(py.l, p_xy + 4, 32);
+  Fq2 qx, qy;
+  memcpy(qx.c0.l, q_xyxy, 32);
+  memcpy(qx.c1.l, q_xyxy + 4, 32);
+  memcpy(qy.c0.l, q_xyxy + 8, 32);
+  memcpy(qy.c1.l, q_xyxy + 12, 32);
+  Fq12 f;
+  fq12_one(f);
+  if (!(fp_is_zero(px) && fp_is_zero(py)) &&
+      !(fq2_is_zero(qx) && fq2_is_zero(qy)))
+    miller_accumulate(px, py, qx, qy, f);
+  // tower coefficient j (over Fq2) sits at w^deg: c0 rows deg 0,2,4;
+  // c1 rows deg 1,3,5 (w^1, w^3, w^5)
+  const Fq2 *cs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                      &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  const int degs[6] = {0, 2, 4, 1, 3, 5};
+  Fp4 direct[12];
+  memset(direct, 0, sizeof(direct));
+  Fp4 nine = {{9, 0, 0, 0}};
+  fp_to_mont(FQ, nine, nine);
+  for (int j = 0; j < 6; j++) {
+    int d = degs[j];
+    Fp4 t;
+    fp_mul(FQ, cs[j]->c1, nine, t);
+    Fp4 lo;
+    fp_sub(FQ, cs[j]->c0, t, lo);          // c0 - 9 c1 at w^d
+    fp_add(FQ, direct[d], lo, direct[d]);
+    fp_add(FQ, direct[d + 6], cs[j]->c1, direct[d + 6]);  // c1 at w^(d+6)
+  }
+  for (int k = 0; k < 12; k++) {
+    Fp4 c;
+    fp_from_mont(FQ, direct[k], c);
+    memcpy(out12 + 4 * k, c.l, 32);
+  }
 }
 
 // Horner evaluation: out[j] = poly(x[j]) for q points (canonical in/out).

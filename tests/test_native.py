@@ -165,3 +165,44 @@ def test_engine_proof_bytes_identical():
             os.environ["HALO2_TPU_PROVER_BACKEND"] = old
     assert p_native == p_device
     assert verify_proof(params, pk.vk, p_native, [list(public)])
+
+
+def _flat_pairs(pairs):
+    return [
+        ((ec.g1_to_ints(p)[0], ec.g1_to_ints(p)[1]),
+         ((g2[0].c[0], g2[0].c[1]), (g2[1].c[0], g2[1].c[1])))
+        for p, g2 in pairs
+    ]
+
+
+def test_native_miller_loop_matches_python():
+    """Native tower Miller loop == ec/host.py's direct-basis construction,
+    coefficient by coefficient (no final exponentiation)."""
+    rng = random.Random(5)
+    for _ in range(2):
+        a, b = rng.randrange(1, ec.R), rng.randrange(1, ec.R)
+        p1 = ec.ec_mul(ec.G1, a)
+        q2 = ec.ec_mul(ec.G2, b)
+        want = ec.miller_loop(ec.twist(q2), ec.cast_g1_to_fq12(p1))
+        got = native.miller_loop_direct(
+            ec.g1_to_ints(p1),
+            ((q2[0].c[0], q2[0].c[1]), (q2[1].c[0], q2[1].c[1])),
+        )
+        assert got == [c % ec.P for c in want.c]
+
+
+def test_native_pairing_product_bilinearity():
+    """e(aP, bQ) * e(-abP, Q) == 1; tampered scalar fails; infinity skips.
+    The exact check shape the KZG verifier runs (kzg/shplonk.py:187;
+    reference verify_proof src/circuits/utils.rs:56-63)."""
+    a, b = 1234567, 7654321
+    p1 = ec.ec_mul(ec.G1, a)
+    q2 = ec.ec_mul(ec.G2, b)
+    nab = ec.ec_mul(ec.G1, (-(a * b)) % ec.R)
+    assert native.pairing_product_is_one(_flat_pairs([(p1, q2), (nab, ec.G2)]))
+    bad = ec.ec_mul(ec.G1, ((-(a * b)) + 1) % ec.R)
+    assert not native.pairing_product_is_one(_flat_pairs([(p1, q2), (bad, ec.G2)]))
+    assert native.pairing_product_is_one(_flat_pairs([(None, ec.G2)]))
+    # host dispatcher routes through the same code
+    assert ec.pairing_product_is_one([(p1, q2), (nab, ec.G2)])
+    assert not ec.pairing_product_is_one([(p1, q2), (bad, ec.G2)])
