@@ -225,12 +225,21 @@ class NativeEngine:
         return self.coeff_to_extended_many([coeffs])[0]
 
     def coeff_to_extended_many(self, coeffs_list):
-        """Pad + coset-scale + forward NTT for MANY columns in one native
-        call batch (threads split the columns — the per-column loop was the
-        second-largest slice of the native quotient phase)."""
+        """Pad + coset-scale + forward NTT for MANY columns in ONE fused
+        native call (8-column IFMA lane blocks share the twiddle/scale
+        tables; this was the largest slice of the native quotient phase)."""
         if not coeffs_list:
             return []
         nb = len(coeffs_list)
+        lens = {c.shape[0] for c in coeffs_list}
+        if len(lens) == 1:
+            stacked = np.ascontiguousarray(
+                np.stack(coeffs_list).astype(np.uint64, copy=False)
+            )
+            out = self.native.coset_ntt_fr_batch(
+                stacked, self.ext_n, self._coset_powers_row()
+            )
+            return [out[b] for b in range(nb)]
         padded = np.zeros((nb, self.ext_n, 4), np.uint64)
         for b, c in enumerate(coeffs_list):
             padded[b, : c.shape[0]] = c
@@ -273,20 +282,23 @@ class NativeEngine:
             "NativeEngine.quotient_eval only evaluates st.combined_quotient()"
         )
         prog = self.st.quotient_program(rot_scale)
-        rows = []
+        rows, rots, strides = [], [], []
         for kind, ci, rot in prog.queries:
-            arr = columns_ext[kind][ci]
-            r = rot * rot_scale
-            rows.append(np.roll(arr, -r, axis=0) if r else arr)
+            rows.append(columns_ext[kind][ci])
+            rots.append(rot * rot_scale)
+            strides.append(1)
         for v in prog.consts:
-            rows.append(self.epoly_const(v))
-        base = np.stack(rows) if rows else np.zeros((0, self.ext_n, 4), np.uint64)
-        nq_c = base.shape[0]
+            rows.append(self.native.pack_ints([int(v) % P]))
+            rots.append(0)
+            strides.append(0)  # broadcast constant, read in place
+        nq_c = len(rows)
         instrs = np.array(
             [(op, s1, s2, nq_c + i) for i, (op, s1, s2) in enumerate(prog.instrs)],
             np.int32,
         ).reshape(-1, 4)
-        out = self.native.expr_eval_fr(base, instrs, prog.output_slots(), self.ext_n)
+        out = self.native.expr_eval_fr_rows(
+            rows, rots, strides, instrs, prog.output_slots(), self.ext_n
+        )
         return out[0]
 
     # ---- commitments / decode

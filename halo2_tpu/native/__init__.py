@@ -98,6 +98,9 @@ def _load():
         lib.h2t_scale_row_fr_batch.argtypes = [
             u64p, ctypes.c_size_t, ctypes.c_size_t, u64p,
         ]
+        lib.h2t_coset_ntt_fr_batch.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_size_t, u64p, ctypes.c_size_t, u64p,
+        ]
         lib.h2t_scale_powers_fr.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.h2t_batch_inv_fr.argtypes = [u64p, ctypes.c_size_t]
         lib.h2t_grand_product_fr.argtypes = [
@@ -109,6 +112,11 @@ def _load():
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.h2t_expr_eval_fr.argtypes = [
             u64p, ctypes.c_size_t, ctypes.c_size_t,
+            i32p, ctypes.c_size_t, i32p, ctypes.c_size_t, u64p,
+        ]
+        lib.h2t_expr_eval_fr_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), i32p, i32p,
+            ctypes.c_size_t, ctypes.c_size_t,
             i32p, ctypes.c_size_t, i32p, ctypes.c_size_t, u64p,
         ]
         lib.h2t_pairing_product_is_one.argtypes = [
@@ -266,6 +274,18 @@ def scale_row_fr_batch(words: np.ndarray, row: np.ndarray) -> np.ndarray:
     return a
 
 
+def coset_ntt_fr_batch(words: np.ndarray, ext_n: int, coset_row: np.ndarray) -> np.ndarray:
+    """Fused pad + coset-scale + forward NTT: (nb, n_in, 4) canonical columns
+    -> (nb, ext_n, 4).  coset_row: (ext_n, 4) canonical scale factors."""
+    lib = _load()
+    a = np.ascontiguousarray(words, dtype=np.uint64)
+    nb, n_in = a.shape[0], a.shape[1]
+    out = np.empty((nb, ext_n, 4), np.uint64)
+    row = np.ascontiguousarray(coset_row, dtype=np.uint64)
+    lib.h2t_coset_ntt_fr_batch(_ptr(a), nb, n_in, _ptr(out), ext_n, _ptr(row))
+    return out
+
+
 def scale_powers_fr(words: np.ndarray, g: int) -> np.ndarray:
     lib = _load()
     a = np.ascontiguousarray(words, dtype=np.uint64).copy()
@@ -363,6 +383,34 @@ def miller_loop_direct(p_xy, q_xyxy) -> list:
     out = np.zeros(48, np.uint64)
     lib.h2t_pairing(_ptr(p), _ptr(q), _ptr(out))
     return unpack_ints(out.reshape(12, 4))
+
+
+def expr_eval_fr_rows(rows, rots, strides, instrs: np.ndarray, out_slots, n: int) -> np.ndarray:
+    """Zero-copy Program evaluation: rows is a list of (m, 4) u64 canonical
+    arrays read in place (m == n, or m == 1 with strides[b] == 0 for a
+    broadcast constant); rots[b] rotates row b by +rot (value i reads
+    src[(i + rot) % n]).  Returns (nout, n, 4) canonical."""
+    lib = _load()
+    nbase = len(rows)
+    keepalive = [np.ascontiguousarray(r, dtype=np.uint64) for r in rows]
+    ptrs = (ctypes.c_void_p * nbase)(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in keepalive]
+    )
+    rots_a = np.ascontiguousarray(np.asarray(rots, dtype=np.int32))
+    strides_a = np.ascontiguousarray(np.asarray(strides, dtype=np.int32))
+    instrs = np.ascontiguousarray(instrs, dtype=np.int32).reshape(-1, 4)
+    slots = np.ascontiguousarray(np.asarray(out_slots, dtype=np.int32))
+    nout = slots.shape[0]
+    out = np.zeros((nout, n, 4), np.uint64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.h2t_expr_eval_fr_rows(
+        ptrs,
+        rots_a.ctypes.data_as(i32), strides_a.ctypes.data_as(i32),
+        nbase, n,
+        instrs.ctypes.data_as(i32), instrs.shape[0],
+        slots.ctypes.data_as(i32), nout, _ptr(out),
+    )
+    return out
 
 
 def poly_eval_fr(poly: np.ndarray, xs: list) -> list:

