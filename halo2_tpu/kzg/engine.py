@@ -74,7 +74,12 @@ class DeviceEngine:
 
     # ---- poly construction
     def coeffs_from_values(self, vals):
-        """Host ints that are ALREADY coefficients -> engine poly."""
+        """Host ints (or a (n, 4) u64 host-poly array) that are ALREADY
+        coefficients -> engine poly."""
+        if isinstance(vals, np.ndarray) and vals.dtype == np.uint64:
+            from .. import native
+
+            vals = native.unpack_ints(vals)
         return self.dfr.encode(vals)
 
     def to_coeffs(self, vals):
@@ -188,6 +193,8 @@ class NativeEngine:
 
     # ---- poly construction
     def coeffs_from_values(self, vals):
+        if isinstance(vals, np.ndarray) and vals.dtype == np.uint64:
+            return vals  # already an engine poly (host-poly convention)
         return self.native.pack_ints([int(v) % P for v in vals])
 
     def to_coeffs(self, vals):
@@ -321,7 +328,9 @@ class NativeEngine:
         return [ec.g1_from_ints(x, y) for x, y in out]
 
     def decode_many(self, polys):
-        return [self.native.unpack_ints(poly) for poly in polys]
+        # engine polys ARE host (m, 4) canonical arrays — hand them to the
+        # prover tail as-is (the int round trip cost ~0.5 s per prove)
+        return list(polys)
 
     def grand_product_z(self, num_ints, den_ints, carry: int):
         return _grand_product_fallback(num_ints, den_ints, carry)

@@ -291,19 +291,32 @@ def create_proof(params, pk: ProvingKey, circuit, instances, rng=None, mesh=None
     reg_list += [(("h_piece", i), piece) for i, piece in enumerate(h_pieces)]
     decoded = eng.decode_many([arr for _, arr in reg_list])
 
-    polys = {}  # label -> host coeff list
+    # host-poly convention: values are (n, 4) u64 canonical numpy arrays on
+    # the native engine, Python int lists otherwise (see _hp helpers)
+    polys = {}
     n_h = len(h_pieces)
     for (label, _), row in zip(reg_list[: len(reg_list) - n_h], decoded):
         polys[label] = row
-    polys[("random", 0)] = random_poly
+    polys[("random", 0)] = (
+        random_coeffs if isinstance(random_coeffs, np.ndarray) else random_poly
+    )
     # folded h: h(X) = sum x^{n i} h_i(X)
     xn = pow(x, n, P)
-    h_np = np.zeros(n, dtype=object)
+    factors = []
     factor = 1
-    for row in decoded[len(reg_list) - n_h :]:
-        h_np = (h_np + factor * np.array(row, dtype=object)) % P
+    for _ in range(n_h):
+        factors.append(factor)
         factor = factor * xn % P
-    polys[("h", 0)] = [int(v) for v in h_np]
+    h_rows = decoded[len(reg_list) - n_h :]
+    if h_rows and isinstance(h_rows[0], np.ndarray):
+        from .. import native
+
+        polys[("h", 0)] = native.fold_scaled_fr(np.stack(h_rows), factors)
+    else:
+        h_np = np.zeros(n, dtype=object)
+        for f_, row in zip(factors, h_rows):
+            h_np = (h_np + f_ * np.array(row, dtype=object)) % P
+        polys[("h", 0)] = [int(v) for v in h_np]
 
     from .queries import proof_queries
 
@@ -336,7 +349,12 @@ def _eval_queries(polys, queries):
             by_label.setdefault(label, []).append(point)
         for label, pts in by_label.items():
             if label not in packed:
-                packed[label] = nat.pack_ints([int(v) for v in polys[label]])
+                p_ = polys[label]
+                packed[label] = (
+                    p_
+                    if isinstance(p_, np.ndarray) and p_.dtype == np.uint64
+                    else nat.pack_ints([int(v) for v in p_])
+                )
             vals = nat.poly_eval_fr(packed[label], pts)
             for point, v in zip(pts, vals):
                 evals[(label, point)] = v

@@ -114,6 +114,14 @@ def _load():
             u64p, ctypes.c_size_t, ctypes.c_size_t,
             i32p, ctypes.c_size_t, i32p, ctypes.c_size_t, u64p,
         ]
+        lib.h2t_axpy_fr.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
+        lib.h2t_fold_scaled_fr.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_size_t, u64p, u64p,
+        ]
+        lib.h2t_poly_div_fr.argtypes = [
+            u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
+        ]
+        lib.h2t_poly_div_fr.restype = ctypes.c_int
         lib.h2t_expr_eval_fr_rows.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), i32p, i32p,
             ctypes.c_size_t, ctypes.c_size_t,
@@ -334,6 +342,48 @@ def expr_eval_fr(base: np.ndarray, instrs: np.ndarray, out_slots, n: int) -> np.
         slots.ctypes.data_as(i32), nout, _ptr(out),
     )
     return out
+
+
+def axpy_fr_inplace(acc: np.ndarray, b: np.ndarray, s: int) -> None:
+    """acc[:len(b)] += b*s in place; acc must be a C-contiguous uint64 view."""
+    lib = _load()
+    assert acc.flags.c_contiguous and acc.dtype == np.uint64
+    bb = np.ascontiguousarray(b, dtype=np.uint64)
+    from ..field.params import BN254_FR
+
+    sv = pack_ints([int(s) % BN254_FR.p])[0].copy()
+    n = min(acc.shape[0], bb.shape[0])
+    lib.h2t_axpy_fr(_ptr(acc), _ptr(bb), _ptr(sv), n)
+
+
+def axpy_fr(acc: np.ndarray, b: np.ndarray, s: int) -> np.ndarray:
+    """acc + b*s over (n, 4) canonical arrays (returns a new array)."""
+    a = np.ascontiguousarray(acc, dtype=np.uint64).copy()
+    axpy_fr_inplace(a, b, s)
+    return a
+
+
+def fold_scaled_fr(rows: np.ndarray, factors: list) -> np.ndarray:
+    """sum_i rows[i] * factors[i] over (nh, n, 4) canonical rows."""
+    lib = _load()
+    r = np.ascontiguousarray(rows, dtype=np.uint64)
+    f = pack_ints([int(x) for x in factors])
+    out = np.zeros((r.shape[1], 4), np.uint64)
+    lib.h2t_fold_scaled_fr(_ptr(r), r.shape[0], r.shape[1], _ptr(f), _ptr(out))
+    return out
+
+
+def poly_div_fr(f: np.ndarray, divisor: list) -> np.ndarray:
+    """Exact polynomial division over (nf, 4) canonical coeffs by a small
+    int-list divisor; raises on non-zero remainder."""
+    lib = _load()
+    a = np.ascontiguousarray(f, dtype=np.uint64).copy()
+    d = pack_ints([int(c) for c in divisor])
+    rem = lib.h2t_poly_div_fr(_ptr(a), a.shape[0], _ptr(d), d.shape[0])
+    if rem:
+        raise AssertionError("non-zero remainder in native poly division")
+    out_len = max(a.shape[0] - (d.shape[0] - 1), 1)
+    return a[:out_len]
 
 
 _FINAL_EXP_WORDS = None

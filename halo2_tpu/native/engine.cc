@@ -1886,6 +1886,92 @@ void h2t_expr_eval_fr(const u64 *base, size_t nbase, size_t n,
   for (auto &th : threads) th.join();
 }
 
+// acc[i] += b[i] * s for a scalar s (canonical in/out).  The multiopen's
+// poly_add_scaled over (n, 4) host polys.
+void h2t_axpy_fr(u64 *acc, const u64 *b, const u64 *s, size_t n) {
+  Fp4 sm;
+  fp_to_mont(FR, *(const Fp4 *)s, sm);
+  Fp4 *va = (Fp4 *)acc;
+  const Fp4 *vb = (const Fp4 *)b;
+  size_t i = 0;
+#ifdef H2T_IFMA
+  {
+    const Ctx52 &C = fr52();
+    Fp4 s_canon = *(const Fp4 *)s;
+    u64 s52[5];
+    scalar_to_mont52(C, s_canon, s52);
+    V52 sv;
+    v52_bcast_elem(s52, sv);
+    for (; i + 8 <= n; i += 8) {
+      V52 x, y;
+      v52_load_mont(C, vb + i, x);
+      v52_mul(C, x, sv, x);
+      v52_load_mont(C, va + i, y);
+      v52_add(C, x, y, x);
+      v52_store_canon(C, x, va + i);
+    }
+  }
+#endif
+  for (; i < n; i++) {
+    Fp4 bm, t;
+    fp_to_mont(FR, vb[i], bm);
+    fp_mul(FR, bm, sm, t);
+    Fp4 am;
+    fp_to_mont(FR, va[i], am);
+    fp_add(FR, am, t, am);
+    fp_from_mont(FR, am, va[i]);
+  }
+}
+
+// out[j] = sum_i rows[i][j] * factors[i] (canonical).  The prover's h-piece
+// fold h(X) = sum x^{n i} h_i(X).
+void h2t_fold_scaled_fr(const u64 *rows, size_t nh, size_t n,
+                        const u64 *factors, u64 *out) {
+  memset(out, 0, 32 * n);
+  for (size_t i = 0; i < nh; i++)
+    h2t_axpy_fr(out, rows + 4 * n * i, factors + 4 * i, n);
+}
+
+// In-place synthetic division f /= divisor (monic-ized internally); returns
+// 0 when the remainder is zero, 1 otherwise.  f: nf coeffs ascending;
+// divisor: nd coeffs (nd small — the multiopen divides by vanishing factors
+// of degree <= |T|).  Quotient lands in f[0 .. nf-nd], remainder in f[0..nd-2].
+int h2t_poly_div_fr(u64 *f, size_t nf, const u64 *divisor, size_t nd) {
+  if (nd == 0 || nf < nd) return 1;
+  size_t d = nd - 1;
+  Fp4 *vf = (Fp4 *)f;
+  const Fp4 *vd = (const Fp4 *)divisor;
+  Fp4 lead_m, lead_inv;
+  fp_to_mont(FR, vd[d], lead_m);
+  fp_inv(FR, lead_m, lead_inv);
+  std::vector<Fp4> div_m(d);  // -divisor[j] / lead, Montgomery
+  for (size_t j = 0; j < d; j++) {
+    Fp4 t;
+    fp_to_mont(FR, vd[j], t);
+    fp_mul(FR, t, lead_inv, t);
+    fp_neg(FR, t, div_m[j]);
+  }
+  // work in Montgomery over the whole buffer once
+  for (size_t i = 0; i < nf; i++) fp_to_mont(FR, vf[i], vf[i]);
+  for (size_t i = nf; i-- > d;) {
+    Fp4 q;
+    fp_mul(FR, vf[i], lead_inv, q);
+    vf[i] = q;
+    for (size_t j = 0; j < d; j++) {
+      Fp4 t;
+      fp_mul(FR, q, div_m[j], t);
+      fp_add(FR, vf[i - d + j], t, vf[i - d + j]);
+    }
+  }
+  int rem = 0;
+  for (size_t j = 0; j < d; j++)
+    if (!fp_is_zero(vf[j])) rem = 1;
+  // shift quotient down to f[0..]
+  for (size_t i = 0; i + d < nf; i++) fp_from_mont(FR, vf[i + d], vf[i]);
+  memset(vf + (nf - d), 0, 32 * d);
+  return rem;
+}
+
 // Pairing product check: returns 1 iff prod_i e(P_i, Q_i) == 1.
 // pairs: npairs * 24 u64 = per pair [px(4), py(4), qx0(4), qx1(4), qy0(4),
 // qy1(4)] canonical; a pair with P == (0,0) or Q == (0,...,0) is skipped
