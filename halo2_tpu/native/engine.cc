@@ -1346,6 +1346,383 @@ static void ntt_ifma_block(V52 *buf, size_t n, bool inverse) {
   }
 }
 
+static const Ctx52 &fq52() {
+  static Ctx52 C;
+  static bool init = false;
+  if (!init) {
+    make_ctx52(FQ, C);
+    init = true;
+  }
+  return C;
+}
+
+// zero mod p in [0, 2p) has representatives {0, p}
+static inline __mmask8 v52_is_zero(const Ctx52 &C, const V52 &a) {
+  __m512i or_all = a.l[0];
+  __mmask8 eq_p = _mm512_cmpeq_epu64_mask(a.l[0], bcast(C.p[0]));
+  for (int i = 1; i < 5; i++) {
+    or_all = _mm512_or_si512(or_all, a.l[i]);
+    eq_p &= _mm512_cmpeq_epu64_mask(a.l[i], bcast(C.p[i]));
+  }
+  return _mm512_cmpeq_epu64_mask(or_all, _mm512_setzero_si512()) | eq_p;
+}
+
+static inline __mmask8 v52_eq(const Ctx52 &C, const V52 &a, const V52 &b) {
+  // equality of residues in [0, 2p): a - b is zero mod p
+  V52 d;
+  v52_sub(C, a, b, d);
+  return v52_is_zero(C, d);
+}
+
+static inline void v52_select(__mmask8 m, const V52 &yes, const V52 &no, V52 &o) {
+  for (int i = 0; i < 5; i++) o.l[i] = _mm512_mask_blend_epi64(m, no.l[i], yes.l[i]);
+}
+
+// ---- lane <-> scalar conversions for the rare exceptional-case fallbacks
+// mont52 repr (x * 2^260 mod p, in [0,2p)) -> 4x64 Montgomery (x * 2^256)
+static void lane_to_mont64(const FieldCtx &F, const u64 v52v[5], Fp4 &o) {
+  Fp4 v;
+  from52(v52v, v);
+  // v may be in [0, 2p): reduce exactly first
+  u64 s[4], borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)v.l[i] - F.p.l[i] - borrow;
+    s[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  if (!borrow) memcpy(v.l, s, 32);
+  // v = x*2^260 mod p; halve 4 times (x odd -> add p first)
+  for (int k = 0; k < 4; k++) {
+    if (v.l[0] & 1) {
+      u64 carry = 0;
+      for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)v.l[i] + F.p.l[i] + carry;
+        v.l[i] = (u64)cur;
+        carry = (u64)(cur >> 64);
+      }
+      for (int i = 0; i < 3; i++) v.l[i] = (v.l[i] >> 1) | (v.l[i + 1] << 63);
+      v.l[3] = (v.l[3] >> 1) | (carry << 63);
+    } else {
+      for (int i = 0; i < 3; i++) v.l[i] = (v.l[i] >> 1) | (v.l[i + 1] << 63);
+      v.l[3] >>= 1;
+    }
+  }
+  o = v;  // x * 2^256 mod p
+}
+
+// 4x64 Montgomery (x * 2^256) -> mont52 repr (x * 2^260 mod p)
+static void mont64_to_lane(const FieldCtx &F, const Fp4 &m, u64 o[5]) {
+  Fp4 v = m;
+  for (int i = 0; i < 4; i++) fp_add(F, v, v, v);
+  to52(v, o);
+}
+
+struct J52 {
+  V52 X, Y, Z;  // Jacobian, infinity iff Z == 0 (mod p)
+};
+
+struct One52H {
+  u64 v[5];
+};
+
+static const u64 *one52_fq() {
+  static const One52H h = [] {
+    One52H t;
+    Fp4 o1 = {{1, 0, 0, 0}}, m;
+    fp_to_mont(FQ, o1, m);
+    mont64_to_lane(FQ, m, t.v);
+    return t;
+  }();
+  return h.v;
+}
+
+static inline void j52_set_lane(J52 &p, int lane, const G1 &g) {
+  // g: 4x64 Montgomery Jacobian (G1); write one lane
+  const FieldCtx &F = FQ;
+  u64 t[5];
+  alignas(64) u64 tmp[8];
+  const Fp4 *coords[3] = {&g.X, &g.Y, &g.Z};
+  V52 *dst[3] = {&p.X, &p.Y, &p.Z};
+  Fp4 zero = {{0, 0, 0, 0}};
+  for (int cidx = 0; cidx < 3; cidx++) {
+    if (g.inf)
+      to52(zero, t);
+    else
+      mont64_to_lane(F, *coords[cidx], t);
+    for (int i = 0; i < 5; i++) {
+      _mm512_store_si512((void *)tmp, dst[cidx]->l[i]);
+      tmp[lane] = t[i];
+      dst[cidx]->l[i] = _mm512_load_si512((const void *)tmp);
+    }
+  }
+}
+
+static inline void j52_get_lane(const J52 &p, int lane, G1 &g) {
+  const FieldCtx &F = FQ;
+  alignas(64) u64 tmp[8];
+  u64 t[5];
+  const V52 *src[3] = {&p.X, &p.Y, &p.Z};
+  Fp4 *coords[3] = {&g.X, &g.Y, &g.Z};
+  for (int cidx = 0; cidx < 3; cidx++) {
+    for (int i = 0; i < 5; i++) {
+      _mm512_store_si512((void *)tmp, src[cidx]->l[i]);
+      t[i] = tmp[lane];
+    }
+    lane_to_mont64(F, t, *coords[cidx]);
+  }
+  g.inf = fp_is_zero(g.Z);
+  if (g.inf) {
+    // canonicalize infinity for the scalar ops
+    memset(&g.X, 0, 32);
+    memset(&g.Z, 0, 32);
+  }
+}
+
+// complete mixed add: p += (px, py) on lanes where `valid`; px/py never
+// infinity.  Exceptional equal-point lanes fall back to the scalar dbl.
+static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
+                     __mmask8 valid) {
+  V52 z1z1, u2, s2, h, hh, i4, j, r1, rr, v, t0, t1, x3, y3, z3;
+  v52_mul(C, p.Z, p.Z, z1z1);
+  v52_mul(C, px, z1z1, u2);
+  v52_mul(C, p.Z, z1z1, t0);
+  v52_mul(C, py, t0, s2);
+  v52_sub(C, u2, p.X, h);
+  v52_mul(C, h, h, hh);
+  v52_add(C, hh, hh, i4);
+  v52_add(C, i4, i4, i4);
+  v52_mul(C, h, i4, j);
+  v52_sub(C, s2, p.Y, r1);
+  v52_add(C, r1, r1, rr);
+  v52_mul(C, p.X, i4, v);
+  v52_mul(C, rr, rr, x3);
+  v52_sub(C, x3, j, x3);
+  v52_add(C, v, v, t0);
+  v52_sub(C, x3, t0, x3);
+  v52_sub(C, v, x3, t0);
+  v52_mul(C, rr, t0, t0);
+  v52_mul(C, p.Y, j, t1);
+  v52_add(C, t1, t1, t1);
+  v52_sub(C, t0, t1, y3);
+  v52_add(C, p.Z, h, z3);
+  v52_mul(C, z3, z3, z3);
+  v52_sub(C, z3, z1z1, z3);
+  v52_sub(C, z3, hh, z3);
+
+  __mmask8 p_inf = v52_is_zero(C, p.Z);
+  __mmask8 h_zero = v52_is_zero(C, h);
+  __mmask8 r_zero = v52_is_zero(C, rr);
+  __mmask8 same = valid & h_zero & r_zero & ~p_inf;
+
+  J52 out;
+  out.X = x3;
+  out.Y = y3;
+  out.Z = z3;
+  // p_inf lanes: (px, py, 1)
+  V52 onev;
+  v52_bcast_elem(one52_fq(), onev);
+  v52_select(p_inf, px, out.X, out.X);
+  v52_select(p_inf, py, out.Y, out.Y);
+  v52_select(p_inf, onev, out.Z, out.Z);
+  // keep original on invalid lanes
+  v52_select(valid, out.X, p.X, p.X);
+  v52_select(valid, out.Y, p.Y, p.Y);
+  v52_select(valid, out.Z, p.Z, p.Z);
+
+  if (same) {  // rare: acc lane == (px, py) -> double the affine point
+    for (int lane = 0; lane < 8; lane++) {
+      if (!((same >> lane) & 1)) continue;
+      G1 g;
+      alignas(64) u64 tmp[8];
+      u64 t5[5];
+      Fp4 ax, ay;
+      for (int i = 0; i < 5; i++) {
+        _mm512_store_si512((void *)tmp, px.l[i]);
+        t5[i] = tmp[lane];
+      }
+      lane_to_mont64(FQ, t5, ax);
+      for (int i = 0; i < 5; i++) {
+        _mm512_store_si512((void *)tmp, py.l[i]);
+        t5[i] = tmp[lane];
+      }
+      lane_to_mont64(FQ, t5, ay);
+      g.X = ax;
+      g.Y = ay;
+      g.Z = FQ.one;
+      g.inf = false;
+      g1_dbl(g, g);
+      j52_set_lane(p, lane, g);
+    }
+  }
+}
+
+// complete Jacobian add: p += q (both may be infinity); equal-point lanes
+// fall back to scalar doubling.
+static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
+  V52 z1z1, z2z2, u1, u2, s1, s2, h, r1, rr, i4, j, v, t0, t1, x3, y3, z3;
+  v52_mul(C, p.Z, p.Z, z1z1);
+  v52_mul(C, q.Z, q.Z, z2z2);
+  v52_mul(C, p.X, z2z2, u1);
+  v52_mul(C, q.X, z1z1, u2);
+  v52_mul(C, p.Y, q.Z, t0);
+  v52_mul(C, t0, z2z2, s1);
+  v52_mul(C, q.Y, p.Z, t0);
+  v52_mul(C, t0, z1z1, s2);
+  v52_sub(C, u2, u1, h);
+  v52_sub(C, s2, s1, r1);
+  v52_add(C, r1, r1, rr);
+  v52_mul(C, h, h, t0);
+  v52_add(C, t0, t0, i4);
+  v52_add(C, i4, i4, i4);
+  v52_mul(C, h, i4, j);
+  v52_mul(C, u1, i4, v);
+  v52_mul(C, rr, rr, x3);
+  v52_sub(C, x3, j, x3);
+  v52_add(C, v, v, t0);
+  v52_sub(C, x3, t0, x3);
+  v52_sub(C, v, x3, t0);
+  v52_mul(C, rr, t0, t0);
+  v52_mul(C, s1, j, t1);
+  v52_add(C, t1, t1, t1);
+  v52_sub(C, t0, t1, y3);
+  v52_mul(C, p.Z, q.Z, t0);
+  v52_add(C, t0, t0, t0);
+  v52_mul(C, t0, h, z3);
+
+  __mmask8 p_inf = v52_is_zero(C, p.Z);
+  __mmask8 q_inf = v52_is_zero(C, q.Z);
+  __mmask8 h_zero = v52_is_zero(C, h);
+  __mmask8 r_zero = v52_is_zero(C, rr);
+  __mmask8 same = h_zero & r_zero & ~p_inf & ~q_inf;
+
+  J52 out;
+  out.X = x3;
+  out.Y = y3;
+  out.Z = z3;
+  v52_select(p_inf, q.X, out.X, out.X);
+  v52_select(p_inf, q.Y, out.Y, out.Y);
+  v52_select(p_inf, q.Z, out.Z, out.Z);
+  v52_select(q_inf, p.X, out.X, out.X);
+  v52_select(q_inf, p.Y, out.Y, out.Y);
+  v52_select(q_inf, p.Z, out.Z, out.Z);
+  if (same) {
+    for (int lane = 0; lane < 8; lane++) {
+      if (!((same >> lane) & 1)) continue;
+      G1 g;
+      j52_get_lane(p, lane, g);
+      g1_dbl(g, g);
+      j52_set_lane(out, lane, g);
+    }
+  }
+  p = out;
+}
+
+// The lane-parallel Pippenger: c = 8 (digit = scalar byte), 8 windows per
+// lane group, buckets limb-planar [digit][lane].  ~6-10x the scalar
+// window-loop (measured round 5) — used by every commit in the prover.
+static const int MSM_PLANES = 15;  // X0..4, Y5..9, Z10..14
+
+static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
+                           const u64 *scalars, size_t n, int group, G1 wins[8]) {
+  const Ctx52 &C = fq52();
+  std::vector<u64> bk(MSM_PLANES * 256 * 8, 0);  // Z=0 -> all infinity
+  const __m512i lane_ids = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+  for (size_t e = 0; e < n; e++) {
+    const u64 *sc = scalars + 4 * e;
+    if ((sc[0] | sc[1] | sc[2] | sc[3]) == 0) continue;
+    const u64 *pxe = pxm52 + 5 * e;
+    const u64 *pye = pym52 + 5 * e;
+    if ((pxe[0] | pxe[1] | pxe[2] | pxe[3] | pxe[4] | pye[0] | pye[1] |
+         pye[2] | pye[3] | pye[4]) == 0)
+      continue;  // infinity input
+    u64 dig8;
+    memcpy(&dig8, (const uint8_t *)sc + group * 8, 8);
+    if (dig8 == 0) continue;
+    __m512i dig = _mm512_cvtepu8_epi64(_mm_set_epi64x(0, (long long)dig8));
+    __mmask8 valid =
+        _mm512_cmpneq_epu64_mask(dig, _mm512_setzero_si512());
+    __m512i idx = _mm512_add_epi64(_mm512_slli_epi64(dig, 3), lane_ids);
+    J52 acc;
+    for (int i = 0; i < 5; i++) {
+      acc.X.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)i * 2048), 8);
+      acc.Y.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)(5 + i) * 2048), 8);
+      acc.Z.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)(10 + i) * 2048), 8);
+    }
+    V52 pxv, pyv;
+    for (int i = 0; i < 5; i++) {
+      pxv.l[i] = bcast(pxe[i]);
+      pyv.l[i] = bcast(pye[i]);
+    }
+    j52_madd(C, acc, pxv, pyv, valid);
+    for (int i = 0; i < 5; i++) {
+      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)i * 2048), valid, idx, acc.X.l[i], 8);
+      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)(5 + i) * 2048), valid, idx, acc.Y.l[i], 8);
+      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)(10 + i) * 2048), valid, idx, acc.Z.l[i], 8);
+    }
+  }
+  // suffix combine: wins = sum_d d * bucket[d], lanes independent
+  J52 run, tot;
+  memset(&run, 0, sizeof(run));
+  memset(&tot, 0, sizeof(tot));
+  for (int d = 255; d >= 1; d--) {
+    J52 b;
+    for (int i = 0; i < 5; i++) {
+      b.X.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)i * 2048 + (size_t)d * 8));
+      b.Y.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)(5 + i) * 2048 + (size_t)d * 8));
+      b.Z.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)(10 + i) * 2048 + (size_t)d * 8));
+    }
+    j52_add(C, run, b);
+    j52_add(C, tot, run);
+  }
+  for (int lane = 0; lane < 8; lane++) j52_get_lane(tot, lane, wins[lane]);
+}
+
+// full IFMA MSM: points in 4x64 Montgomery affine ((0,0) = infinity)
+static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
+                     size_t n, G1 &result, const u64 *pxm52_pre = nullptr,
+                     const u64 *pym52_pre = nullptr, bool use_threads = true) {
+  std::vector<u64> px52s, py52s;
+  const u64 *pxm52 = pxm52_pre, *pym52 = pym52_pre;
+  if (!pxm52) {
+    px52s.resize(5 * n);
+    py52s.resize(5 * n);
+    for (size_t e = 0; e < n; e++) {
+      if (fp_is_zero(px_m[e]) && fp_is_zero(py_m[e])) {
+        memset(&px52s[5 * e], 0, 40);
+        memset(&py52s[5 * e], 0, 40);
+      } else {
+        mont64_to_lane(FQ, px_m[e], &px52s[5 * e]);
+        mont64_to_lane(FQ, py_m[e], &py52s[5 * e]);
+      }
+    }
+    pxm52 = px52s.data();
+    pym52 = py52s.data();
+  }
+  G1 wins[32];
+  int nt = use_threads ? num_threads() : 1;
+  if (nt > 4) nt = 4;
+  if (nt <= 1 || n < 512) {
+    for (int g = 0; g < 4; g++)
+      msm_ifma_group(pxm52, pym52, scalars, n, g, wins + 8 * g);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++)
+      threads.emplace_back([&, t]() {
+        for (int g = t; g < 4; g += nt)
+          msm_ifma_group(pxm52, pym52, scalars, n, g, wins + 8 * g);
+      });
+    for (auto &th : threads) th.join();
+  }
+  // Horner over the 32 byte-windows
+  G1 acc;
+  acc.inf = true;
+  for (int w = 31; w >= 0; w--) {
+    for (int b = 0; b < 8; b++) g1_dbl(acc, acc);
+    g1_add(acc, acc, wins[w]);
+  }
+  result = acc;
+}
+
 // Transpose 8 columns of (n, 4)-u64 canonical elements into a planar
 // Montgomery-52 block (and back).  cols[e] may be null (padding lanes).
 static void block_load(const Fp4 *const cols[8], size_t n, V52 *buf) {
@@ -1458,7 +1835,11 @@ int h2t_msm_g1(const u64 *px, const u64 *py, const u64 *scalars, size_t n,
 int h2t_msm_g1_mont(const u64 *px_m, const u64 *py_m, const u64 *scalars,
                     size_t n, u64 *out) {
   G1 r;
+#ifdef H2T_IFMA
+  msm_ifma((const Fp4 *)px_m, (const Fp4 *)py_m, scalars, n, r);
+#else
   msm_impl((const Fp4 *)px_m, (const Fp4 *)py_m, scalars, n, r);
+#endif
   Fp4 ox = {{0, 0, 0, 0}}, oy = {{0, 0, 0, 0}};
   if (!r.inf && !fp_is_zero(r.Z)) {
     Fp4 zi, zi2, zi3;
@@ -1479,6 +1860,57 @@ int h2t_msm_g1_mont(const u64 *px_m, const u64 *py_m, const u64 *scalars,
 // shape: many polys, one SRS).  scalars: nb * n elements; out: nb * 8 u64.
 int h2t_msm_g1_mont_batch(const u64 *px_m, const u64 *py_m, const u64 *scalars,
                           size_t n, size_t nb, u64 *out) {
+#ifdef H2T_IFMA
+  {
+    // convert the shared points to Montgomery-52 ONCE, then thread over the
+    // batch (each per-b MSM runs its lane groups single-threaded)
+    std::vector<u64> px52(5 * n), py52(5 * n);
+    const Fp4 *vx = (const Fp4 *)px_m, *vy = (const Fp4 *)py_m;
+    for (size_t e = 0; e < n; e++) {
+      if (fp_is_zero(vx[e]) && fp_is_zero(vy[e])) {
+        memset(&px52[5 * e], 0, 40);
+        memset(&py52[5 * e], 0, 40);
+      } else {
+        mont64_to_lane(FQ, vx[e], &px52[5 * e]);
+        mont64_to_lane(FQ, vy[e], &py52[5 * e]);
+      }
+    }
+    auto finish = [&](const G1 &r, u64 *o) {
+      Fp4 ox = {{0, 0, 0, 0}}, oy = {{0, 0, 0, 0}};
+      if (!r.inf && !fp_is_zero(r.Z)) {
+        Fp4 zi, zi2, zi3;
+        fp_inv(FQ, r.Z, zi);
+        fp_sqr(FQ, zi, zi2);
+        fp_mul(FQ, zi2, zi, zi3);
+        fp_mul(FQ, r.X, zi2, ox);
+        fp_mul(FQ, r.Y, zi3, oy);
+        fp_from_mont(FQ, ox, ox);
+        fp_from_mont(FQ, oy, oy);
+      }
+      memcpy(o, ox.l, 32);
+      memcpy(o + 4, oy.l, 32);
+    };
+    auto run = [&](size_t b, bool threaded_groups) {
+      G1 r;
+      msm_ifma(vx, vy, scalars + 4 * n * b, n, r, px52.data(), py52.data(),
+               threaded_groups);
+      finish(r, out + 8 * b);
+    };
+    int nt = num_threads();
+    if ((size_t)nt > nb) nt = (int)nb;
+    if (nt <= 1) {
+      for (size_t b = 0; b < nb; b++) run(b, nb == 1);
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < nt; t++)
+        threads.emplace_back([&, t]() {
+          for (size_t b = t; b < nb; b += (size_t)nt) run(b, false);
+        });
+      for (auto &th : threads) th.join();
+    }
+    return 0;
+  }
+#endif
   int nt = num_threads();
   if ((size_t)nt > nb) nt = (int)nb;
   auto run = [&](size_t b) {
