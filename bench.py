@@ -37,7 +37,7 @@ def log(*a):
 def bench_msm():
     import random
 
-    from halo2_tpu.ec.device import msm
+    from halo2_tpu.ec.device import msm_hybrid
     from halo2_tpu.field.device import get_device_field
     from halo2_tpu.field.params import BN254_FR
     from halo2_tpu.kzg.params import ParamsKZG
@@ -49,16 +49,25 @@ def bench_msm():
 
     dfr = get_device_field(BN254_FR)
     rng = random.Random(42)
-    scalars = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False)
+    sc_np = dfr.encode_np(
+        [rng.randrange(BN254_FR.p) for _ in range(n)], to_mont=False
+    )
+    scalars = jnp.asarray(sc_np)
     # SRS lives host-side since round 4 — upload to the device ONCE (passing
-    # numpy would re-upload 8 MB through the tunnel on every call)
+    # numpy would re-upload 8 MB through the tunnel on every call).  The
+    # heterogeneous MSM (round 5) runs the TPU Pippenger on a leading slice
+    # and the host IFMA Pippenger on the tail concurrently, so the host
+    # mirrors ride along.
     g1_x, g1_y = jnp.asarray(params.g1_x), jnp.asarray(params.g1_y)
+
+    def run():
+        return msm_hybrid(g1_x, g1_y, scalars, params.g1_x, params.g1_y, sc_np)
 
     # compile + warmup.  NOTE: sync via host readback (np.asarray), NOT
     # block_until_ready — the axon TPU tunnel returns from block_until_ready
     # before device execution completes, which silently fakes the timing.
     t0 = time.perf_counter()
-    out = msm(g1_x, g1_y, scalars)
+    out = run()
     np.asarray(out["x"])
     log(f"MSM compile+first run: {time.perf_counter() - t0:.1f}s")
 
@@ -67,7 +76,7 @@ def bench_msm():
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = msm(g1_x, g1_y, scalars)
+        out = run()
         np.asarray(out["x"])
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[len(ts) // 2]
@@ -142,7 +151,7 @@ def bench_msm_2_20():
     """Secondary MSM size (regressions at scale go unseen otherwise)."""
     import random
 
-    from halo2_tpu.ec.device import msm
+    from halo2_tpu.ec.device import msm_hybrid
     from halo2_tpu.field.device import get_device_field
     from halo2_tpu.field.params import BN254_FR
     from halo2_tpu.kzg.params import ParamsKZG
@@ -150,18 +159,27 @@ def bench_msm_2_20():
     n = 1 << 20
     params = ParamsKZG.setup_cached(16)  # 2^16 SRS tiled to 2^20 points
     reps = n // (1 << 16)
-    px = jnp.tile(jnp.asarray(params.g1_x), (1, reps))
-    py = jnp.tile(jnp.asarray(params.g1_y), (1, reps))
+    px_np = np.tile(np.asarray(params.g1_x), (1, reps))
+    py_np = np.tile(np.asarray(params.g1_y), (1, reps))
+    px = jnp.asarray(px_np)
+    py = jnp.asarray(py_np)
     dfr = get_device_field(BN254_FR)
     rng = random.Random(9)
-    sc = dfr.encode([rng.randrange(BN254_FR.p) for _ in range(1 << 16)], to_mont=False)
-    sc = jnp.tile(sc, (1, reps))
-    out = msm(px, py, sc)
+    sc_np = np.tile(
+        dfr.encode_np([rng.randrange(BN254_FR.p) for _ in range(1 << 16)], to_mont=False),
+        (1, reps),
+    )
+    sc = jnp.asarray(sc_np)
+
+    def run():
+        return msm_hybrid(px, py, sc, px_np, py_np, sc_np)
+
+    out = run()
     np.asarray(out["x"])  # compile+warm (sync via readback, see bench_msm)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = msm(px, py, sc)
+        out = run()
         np.asarray(out["x"])
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[len(ts) // 2]  # median (tunnel latency spikes)

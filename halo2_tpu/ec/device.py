@@ -757,6 +757,76 @@ def msm(px, py, scalars_canonical):
     return _encode_host_jac(_msm_host_point(px, py, scalars_canonical))
 
 
+def _hybrid_device_frac(n: int) -> float:
+    import os
+
+    v = os.environ.get("HALO2_TPU_MSM_DEVICE_FRAC")
+    if v:
+        return min(1.0, max(0.0, float(v)))
+    # measured round 5 on v5e + 2-core IFMA host: device ~2.9 us/pt,
+    # host ~2.1 us/pt at 2^16 -> balance point ~0.42
+    return 0.42
+
+
+def msm_hybrid(px, py, scalars_canonical, host_px=None, host_py=None,
+               host_scalars=None):
+    """Heterogeneous MSM: the TPU Pippenger runs a leading point slice while
+    the host IFMA Pippenger (halo2_tpu/native) runs the tail on the CPU
+    cores, overlapped; the two Jacobian partials combine on the host (MSM
+    linearity).  This uses ALL the silicon on a TPU VM the way the
+    reference uses all its CPU cores via rayon (src/circuits/utils.rs:40-48).
+
+    host_* are (16, N) numpy mirrors of the SAME data (points Montgomery,
+    scalars canonical).  Falls back to the pure device path when the native
+    engine or the mirrors are unavailable.
+    """
+    from .. import native
+    from ..field.params import BN254_FQ
+
+    n = px.shape[-1]
+    if (
+        host_px is None
+        or host_scalars is None
+        or not native.available()
+        or n < (1 << 12)
+    ):
+        return msm(px, py, scalars_canonical)
+    nd = int(n * _hybrid_device_frac(n))
+    nd = max(0, min(n, nd))
+    if nd == 0:
+        x, y = native.msm_g1_mont(
+            native.pack_device(np.asarray(host_px)),
+            native.pack_device(np.asarray(host_py)),
+            native.pack_device(np.asarray(host_scalars)),
+        )
+        return _encode_host_jac((x, y, 1) if (x or y) else None)
+
+    # 1) dispatch the device slice (async; jax returns before execution)
+    dev_parts = []
+    s = 0
+    while s < nd:
+        e = min(nd, s + _MSM_SLICE)
+        m = e - s
+        dev_parts.append(
+            (m, _msm_wsums_jit(m)(px[:, s:e], py[:, s:e], scalars_canonical[:, s:e]))
+        )
+        s = e
+    # 2) host IFMA Pippenger on the tail while the device runs
+    hx, hy = native.msm_g1_mont(
+        native.pack_device(np.asarray(host_px[:, nd:])),
+        native.pack_device(np.asarray(host_py[:, nd:])),
+        native.pack_device(np.asarray(host_scalars[:, nd:])),
+    )
+    host_pt = None if (hx == 0 and hy == 0) else (hx, hy, 1)
+    # 3) fetch device window sums, Horner, combine
+    acc = host_pt
+    for m, w in dev_parts:
+        wx, wy = _wsums_host_affine(w)
+        pt = _host_horner(wx, wy, _msm_c(m))
+        acc = _hj_add(acc, pt, BN254_FQ.p)
+    return _encode_host_jac(acc)
+
+
 def msm_points(px, py, scalars_canonical):
     """MSM returning the result as host ints (x, y), (0, 0) = infinity."""
     pt = _msm_host_point(px, py, scalars_canonical)

@@ -1164,6 +1164,75 @@ static inline void v52_mul(const Ctx52 &C, const V52 &a, const V52 &b, V52 &o) {
   o.l[4] = t4;
 }
 
+// N-way interleaved CIOS multiply: the single-stream v52_mul is
+// latency-bound on the serial m-reduction chain (~0.5 IPC measured); two or
+// three independent streams interleave to fill the IFMA ports.  Same math
+// and bounds as v52_mul.
+template <int N>
+static inline void v52_mul_n(const Ctx52 &C, const V52 *a, const V52 *b,
+                             V52 *o) {
+  const __m512i mask = MASK52;
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i n0 = bcast(C.n0);
+  __m512i p0 = bcast(C.p[0]), p1 = bcast(C.p[1]), p2 = bcast(C.p[2]),
+          p3 = bcast(C.p[3]), p4 = bcast(C.p[4]);
+  __m512i t[N][6];
+  for (int s = 0; s < N; s++)
+    for (int j = 0; j < 6; j++) t[s][j] = zero;
+  for (int i = 0; i < 5; i++) {
+    __m512i m[N];
+    for (int s = 0; s < N; s++) {
+      __m512i ai = a[s].l[i];
+      t[s][0] = _mm512_madd52lo_epu64(t[s][0], ai, b[s].l[0]);
+      t[s][1] = _mm512_madd52lo_epu64(t[s][1], ai, b[s].l[1]);
+      t[s][2] = _mm512_madd52lo_epu64(t[s][2], ai, b[s].l[2]);
+      t[s][3] = _mm512_madd52lo_epu64(t[s][3], ai, b[s].l[3]);
+      t[s][4] = _mm512_madd52lo_epu64(t[s][4], ai, b[s].l[4]);
+      t[s][1] = _mm512_madd52hi_epu64(t[s][1], ai, b[s].l[0]);
+      t[s][2] = _mm512_madd52hi_epu64(t[s][2], ai, b[s].l[1]);
+      t[s][3] = _mm512_madd52hi_epu64(t[s][3], ai, b[s].l[2]);
+      t[s][4] = _mm512_madd52hi_epu64(t[s][4], ai, b[s].l[3]);
+      t[s][5] = _mm512_madd52hi_epu64(t[s][5], ai, b[s].l[4]);
+      m[s] = _mm512_and_si512(_mm512_madd52lo_epu64(zero, t[s][0], n0), mask);
+    }
+    for (int s = 0; s < N; s++) {
+      t[s][0] = _mm512_madd52lo_epu64(t[s][0], m[s], p0);
+      __m512i carry = _mm512_srli_epi64(t[s][0], 52);
+      t[s][1] = _mm512_add_epi64(t[s][1], carry);
+      t[s][1] = _mm512_madd52lo_epu64(t[s][1], m[s], p1);
+      t[s][2] = _mm512_madd52lo_epu64(t[s][2], m[s], p2);
+      t[s][3] = _mm512_madd52lo_epu64(t[s][3], m[s], p3);
+      t[s][4] = _mm512_madd52lo_epu64(t[s][4], m[s], p4);
+      t[s][1] = _mm512_madd52hi_epu64(t[s][1], m[s], p0);
+      t[s][2] = _mm512_madd52hi_epu64(t[s][2], m[s], p1);
+      t[s][3] = _mm512_madd52hi_epu64(t[s][3], m[s], p2);
+      t[s][4] = _mm512_madd52hi_epu64(t[s][4], m[s], p3);
+      t[s][5] = _mm512_madd52hi_epu64(t[s][5], m[s], p4);
+      t[s][0] = t[s][1];
+      t[s][1] = t[s][2];
+      t[s][2] = t[s][3];
+      t[s][3] = t[s][4];
+      t[s][4] = t[s][5];
+      t[s][5] = zero;
+    }
+  }
+  for (int s = 0; s < N; s++) {
+    __m512i c;
+    c = _mm512_srli_epi64(t[s][0], 52);
+    o[s].l[0] = _mm512_and_si512(t[s][0], mask);
+    t[s][1] = _mm512_add_epi64(t[s][1], c);
+    c = _mm512_srli_epi64(t[s][1], 52);
+    o[s].l[1] = _mm512_and_si512(t[s][1], mask);
+    t[s][2] = _mm512_add_epi64(t[s][2], c);
+    c = _mm512_srli_epi64(t[s][2], 52);
+    o[s].l[2] = _mm512_and_si512(t[s][2], mask);
+    t[s][3] = _mm512_add_epi64(t[s][3], c);
+    c = _mm512_srli_epi64(t[s][3], 52);
+    o[s].l[3] = _mm512_and_si512(t[s][3], mask);
+    o[s].l[4] = _mm512_add_epi64(t[s][4], c);
+  }
+}
+
 // conditional subtract of a 5x52 constant: o = (a >= k) ? a - k : a
 static inline void v52_condsub(const u64 k[5], V52 &a) {
   const __m512i mask = MASK52;
@@ -1214,6 +1283,51 @@ static inline void v52_neg(const Ctx52 &C, const V52 &a, V52 &o) {
     o.l[i] = _mm512_and_si512(d, mask);
   }
   v52_condsub(C.p2, o);
+}
+
+// plain repack of 8 canonical elements into 52-bit lanes (no Montgomery)
+static inline void v52_pack8(const Fp4 *src, V52 &o) {
+  alignas(64) u64 lanes[5][8];
+  for (int e = 0; e < 8; e++) {
+    u64 t[5];
+    to52(src[e], t);
+    for (int i = 0; i < 5; i++) lanes[i][e] = t[i];
+  }
+  for (int i = 0; i < 5; i++)
+    o.l[i] = _mm512_load_si512((const void *)lanes[i]);
+}
+
+static inline void v52_unpack8(const V52 &a, Fp4 *dst) {
+  alignas(64) u64 lanes[5][8];
+  for (int i = 0; i < 5; i++) _mm512_store_si512((void *)lanes[i], a.l[i]);
+  for (int e = 0; e < 8; e++) {
+    u64 t[5] = {lanes[0][e], lanes[1][e], lanes[2][e], lanes[3][e], lanes[4][e]};
+    from52(t, dst[e]);
+  }
+}
+
+// 2-block canonical -> Montgomery-52 (one interleaved double multiply)
+static inline void v52_load_mont2(const Ctx52 &C, const Fp4 *s0, const Fp4 *s1,
+                                  V52 &o0, V52 &o1) {
+  V52 a[2], b[2], o[2];
+  v52_pack8(s0, a[0]);
+  v52_pack8(s1, a[1]);
+  for (int i = 0; i < 5; i++) b[0].l[i] = b[1].l[i] = bcast(C.r2[i]);
+  v52_mul_n<2>(C, a, b, o);
+  o0 = o[0];
+  o1 = o[1];
+}
+
+// 2-block Montgomery-52 -> canonical (exact)
+static inline void v52_store_canon2(const Ctx52 &C, const V52 &a0,
+                                    const V52 &a1, Fp4 *d0, Fp4 *d1) {
+  V52 a[2] = {a0, a1}, b[2], o[2];
+  for (int i = 0; i < 5; i++) b[0].l[i] = b[1].l[i] = bcast(C.one_plain[i]);
+  v52_mul_n<2>(C, a, b, o);
+  v52_condsub(C.p, o[0]);
+  v52_condsub(C.p, o[1]);
+  v52_unpack8(o[0], d0);
+  v52_unpack8(o[1], d1);
 }
 
 // load 8 canonical (4x64) elements -> Montgomery 52 (multiply by r2)
@@ -1326,23 +1440,48 @@ static void ntt_ifma_block(V52 *buf, size_t n, bool inverse) {
     }
   }
   const u64 *twp = T.tw.data();
+  const size_t half = n >> 1;
   for (size_t m = 1; m < n; m <<= 1) {
-    for (size_t g = 0; g < n; g += 2 * m) {
-      const u64 *tw_m = twp;
-      for (size_t j = 0; j < m; j++) {
-        V52 w, hi, lo = buf[g + j];
-        v52_bcast_elem(tw_m + 5 * j, w);
-        v52_mul(C, buf[g + m + j], w, hi);
-        v52_add(C, lo, hi, buf[g + j]);
-        v52_sub(C, lo, hi, buf[g + m + j]);
-      }
+    // flat butterfly index k: group g = (k/m)*2m, twiddle j = k mod m;
+    // consecutive k are independent -> interleave pairs of twiddle muls
+    size_t k = 0;
+    for (; k + 2 <= half; k += 2) {
+      size_t j0 = k & (m - 1), i0 = ((k & ~(m - 1)) << 1) | j0;
+      size_t k1 = k + 1;
+      size_t j1 = k1 & (m - 1), i1 = ((k1 & ~(m - 1)) << 1) | j1;
+      V52 a2[2], b2[2], hi2[2];
+      v52_bcast_elem(twp + 5 * j0, b2[0]);
+      v52_bcast_elem(twp + 5 * j1, b2[1]);
+      a2[0] = buf[i0 + m];
+      a2[1] = buf[i1 + m];
+      v52_mul_n<2>(C, a2, b2, hi2);
+      V52 lo0 = buf[i0], lo1 = buf[i1];
+      v52_add(C, lo0, hi2[0], buf[i0]);
+      v52_sub(C, lo0, hi2[0], buf[i0 + m]);
+      v52_add(C, lo1, hi2[1], buf[i1]);
+      v52_sub(C, lo1, hi2[1], buf[i1 + m]);
+    }
+    for (; k < half; k++) {
+      size_t j0 = k & (m - 1), i0 = ((k & ~(m - 1)) << 1) | j0;
+      V52 w, hi, lo = buf[i0];
+      v52_bcast_elem(twp + 5 * j0, w);
+      v52_mul(C, buf[i0 + m], w, hi);
+      v52_add(C, lo, hi, buf[i0]);
+      v52_sub(C, lo, hi, buf[i0 + m]);
     }
     twp += 5 * m;
   }
   if (inverse) {
     V52 ninv;
     v52_bcast_elem(T.ninv, ninv);
-    for (size_t i = 0; i < n; i++) v52_mul(C, buf[i], ninv, buf[i]);
+    size_t i = 0;
+    for (; i + 2 <= n; i += 2) {
+      V52 a2[2] = {buf[i], buf[i + 1]}, b2[2] = {ninv, ninv}, o2[2];
+      v52_mul_n<2>(C, a2, b2, o2);
+      buf[i] = o2[0];
+      buf[i + 1] = o2[1];
+    }
+    for (; i < n; i++) v52_mul(C, buf[i], ninv, buf[i]);
   }
 }
 
@@ -1483,29 +1622,54 @@ static inline void j52_get_lane(const J52 &p, int lane, G1 &g) {
 static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
                      __mmask8 valid) {
   V52 z1z1, u2, s2, h, hh, i4, j, r1, rr, v, t0, t1, x3, y3, z3;
+  V52 in2[2], out2[2];
   v52_mul(C, p.Z, p.Z, z1z1);
-  v52_mul(C, px, z1z1, u2);
-  v52_mul(C, p.Z, z1z1, t0);
-  v52_mul(C, py, t0, s2);
+  in2[0] = px;
+  in2[1] = p.Z;
+  V52 b2[2] = {z1z1, z1z1};
+  v52_mul_n<2>(C, in2, b2, out2);  // u2 = px*z1z1 | t0 = Z*z1z1
+  u2 = out2[0];
+  t0 = out2[1];
   v52_sub(C, u2, p.X, h);
-  v52_mul(C, h, h, hh);
+  in2[0] = py;
+  in2[1] = h;
+  b2[0] = t0;
+  b2[1] = h;
+  v52_mul_n<2>(C, in2, b2, out2);  // s2 = py*(Z*z1z1) | hh = h^2
+  s2 = out2[0];
+  hh = out2[1];
   v52_add(C, hh, hh, i4);
   v52_add(C, i4, i4, i4);
-  v52_mul(C, h, i4, j);
+  in2[0] = h;
+  in2[1] = p.X;
+  b2[0] = i4;
+  b2[1] = i4;
+  v52_mul_n<2>(C, in2, b2, out2);  // j = h*i4 | v = X*i4
+  j = out2[0];
+  v = out2[1];
   v52_sub(C, s2, p.Y, r1);
   v52_add(C, r1, r1, rr);
-  v52_mul(C, p.X, i4, v);
-  v52_mul(C, rr, rr, x3);
+  in2[0] = rr;
+  in2[1] = p.Y;
+  b2[0] = rr;
+  b2[1] = j;
+  v52_mul_n<2>(C, in2, b2, out2);  // x3 = rr^2 | t1 = Y*j
+  x3 = out2[0];
+  t1 = out2[1];
   v52_sub(C, x3, j, x3);
   v52_add(C, v, v, t0);
   v52_sub(C, x3, t0, x3);
   v52_sub(C, v, x3, t0);
-  v52_mul(C, rr, t0, t0);
-  v52_mul(C, p.Y, j, t1);
+  v52_add(C, p.Z, h, z3);
+  in2[0] = rr;
+  in2[1] = z3;
+  b2[0] = t0;
+  b2[1] = z3;
+  v52_mul_n<2>(C, in2, b2, out2);  // rr*(v-x3) | (Z+h)^2
+  t0 = out2[0];
+  z3 = out2[1];
   v52_add(C, t1, t1, t1);
   v52_sub(C, t0, t1, y3);
-  v52_add(C, p.Z, h, z3);
-  v52_mul(C, z3, z3, z3);
   v52_sub(C, z3, z1z1, z3);
   v52_sub(C, z3, hh, z3);
 
@@ -1560,34 +1724,73 @@ static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
 // fall back to scalar doubling.
 static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
   V52 z1z1, z2z2, u1, u2, s1, s2, h, r1, rr, i4, j, v, t0, t1, x3, y3, z3;
-  v52_mul(C, p.Z, p.Z, z1z1);
-  v52_mul(C, q.Z, q.Z, z2z2);
-  v52_mul(C, p.X, z2z2, u1);
-  v52_mul(C, q.X, z1z1, u2);
-  v52_mul(C, p.Y, q.Z, t0);
-  v52_mul(C, t0, z2z2, s1);
-  v52_mul(C, q.Y, p.Z, t0);
-  v52_mul(C, t0, z1z1, s2);
+  V52 a2[2], b2[2], o2[2];
+  a2[0] = p.Z;
+  b2[0] = p.Z;
+  a2[1] = q.Z;
+  b2[1] = q.Z;
+  v52_mul_n<2>(C, a2, b2, o2);  // z1z1 | z2z2
+  z1z1 = o2[0];
+  z2z2 = o2[1];
+  a2[0] = p.X;
+  b2[0] = z2z2;
+  a2[1] = q.X;
+  b2[1] = z1z1;
+  v52_mul_n<2>(C, a2, b2, o2);  // u1 | u2
+  u1 = o2[0];
+  u2 = o2[1];
+  a2[0] = p.Y;
+  b2[0] = q.Z;
+  a2[1] = q.Y;
+  b2[1] = p.Z;
+  v52_mul_n<2>(C, a2, b2, o2);  // y1*z2 | y2*z1
+  a2[0] = o2[0];
+  b2[0] = z2z2;
+  a2[1] = o2[1];
+  b2[1] = z1z1;
+  v52_mul_n<2>(C, a2, b2, o2);  // s1 | s2
+  s1 = o2[0];
+  s2 = o2[1];
   v52_sub(C, u2, u1, h);
   v52_sub(C, s2, s1, r1);
   v52_add(C, r1, r1, rr);
-  v52_mul(C, h, h, t0);
+  a2[0] = h;
+  b2[0] = h;
+  a2[1] = p.Z;
+  b2[1] = q.Z;
+  v52_mul_n<2>(C, a2, b2, o2);  // h^2 | z1*z2
+  t0 = o2[0];
+  V52 zz = o2[1];
   v52_add(C, t0, t0, i4);
   v52_add(C, i4, i4, i4);
-  v52_mul(C, h, i4, j);
-  v52_mul(C, u1, i4, v);
-  v52_mul(C, rr, rr, x3);
+  a2[0] = h;
+  b2[0] = i4;
+  a2[1] = u1;
+  b2[1] = i4;
+  v52_mul_n<2>(C, a2, b2, o2);  // j | v
+  j = o2[0];
+  v = o2[1];
+  a2[0] = rr;
+  b2[0] = rr;
+  a2[1] = s1;
+  b2[1] = j;
+  v52_mul_n<2>(C, a2, b2, o2);  // rr^2 | s1*j
+  x3 = o2[0];
+  t1 = o2[1];
   v52_sub(C, x3, j, x3);
   v52_add(C, v, v, t0);
   v52_sub(C, x3, t0, x3);
   v52_sub(C, v, x3, t0);
-  v52_mul(C, rr, t0, t0);
-  v52_mul(C, s1, j, t1);
+  v52_add(C, zz, zz, zz);
+  a2[0] = rr;
+  b2[0] = t0;
+  a2[1] = zz;
+  b2[1] = h;
+  v52_mul_n<2>(C, a2, b2, o2);  // rr*(v-x3) | 2*z1*z2*h
+  t0 = o2[0];
+  z3 = o2[1];
   v52_add(C, t1, t1, t1);
   v52_sub(C, t0, t1, y3);
-  v52_mul(C, p.Z, q.Z, t0);
-  v52_add(C, t0, t0, t0);
-  v52_mul(C, t0, h, z3);
 
   __mmask8 p_inf = v52_is_zero(C, p.Z);
   __mmask8 q_inf = v52_is_zero(C, q.Z);
@@ -1622,11 +1825,35 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
 // window-loop (measured round 5) — used by every commit in the prover.
 static const int MSM_PLANES = 15;  // X0..4, Y5..9, Z10..14
 
+// One lane-group of the Pippenger accumulation.  c == 8: digits are scalar
+// bytes, group*8 windows per group (4 groups).  c == 12: digits gathered
+// with per-lane byte offsets + shifts (22 windows, 3 groups; the top window
+// masks to the 2 bits a 254-bit scalar actually has) — fewer window rounds
+// for big n at the cost of 2^12-entry buckets.
 static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
-                           const u64 *scalars, size_t n, int group, G1 wins[8]) {
+                           const u64 *scalars, size_t n, int c, int group,
+                           G1 wins[8]) {
   const Ctx52 &C = fq52();
-  std::vector<u64> bk(MSM_PLANES * 256 * 8, 0);  // Z=0 -> all infinity
+  const int B = 1 << c;
+  std::vector<u64> bk((size_t)MSM_PLANES * B * 8, 0);  // Z=0 -> all infinity
   const __m512i lane_ids = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+  const int W = (254 + c - 1) / c;
+  // c=12 digit-gather tables
+  __m512i off_v = _mm512_setzero_si512(), sh_v = off_v, msk_v = off_v;
+  if (c == 12) {
+    alignas(64) long long offs[8], shs[8], msks[8];
+    for (int l = 0; l < 8; l++) {
+      int w = group * 8 + l;
+      int bit = 12 * w;
+      offs[l] = w < W ? bit >> 3 : 0;
+      shs[l] = w < W ? (bit & 7) : 0;
+      int remaining = w < W ? (254 - bit < 12 ? 254 - bit : 12) : 0;
+      msks[l] = remaining > 0 ? ((1LL << remaining) - 1) : 0;
+    }
+    off_v = _mm512_load_si512((const void *)offs);
+    sh_v = _mm512_load_si512((const void *)shs);
+    msk_v = _mm512_load_si512((const void *)msks);
+  }
   for (size_t e = 0; e < n; e++) {
     const u64 *sc = scalars + 4 * e;
     if ((sc[0] | sc[1] | sc[2] | sc[3]) == 0) continue;
@@ -1635,18 +1862,32 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
     if ((pxe[0] | pxe[1] | pxe[2] | pxe[3] | pxe[4] | pye[0] | pye[1] |
          pye[2] | pye[3] | pye[4]) == 0)
       continue;  // infinity input
-    u64 dig8;
-    memcpy(&dig8, (const uint8_t *)sc + group * 8, 8);
-    if (dig8 == 0) continue;
-    __m512i dig = _mm512_cvtepu8_epi64(_mm_set_epi64x(0, (long long)dig8));
+    __m512i dig;
+    if (c == 8) {
+      u64 dig8;
+      memcpy(&dig8, (const uint8_t *)sc + group * 8, 8);
+      if (dig8 == 0) continue;
+      dig = _mm512_cvtepu8_epi64(_mm_set_epi64x(0, (long long)dig8));
+    } else {
+      // per-lane u64 loads at byte offsets (scalars padded by the caller so
+      // the offset-31 read of the top window never runs past the buffer)
+      __m512i raw = _mm512_i64gather_epi64(off_v, (const long long *)sc, 1);
+      dig = _mm512_and_si512(_mm512_srlv_epi64(raw, sh_v), msk_v);
+    }
     __mmask8 valid =
         _mm512_cmpneq_epu64_mask(dig, _mm512_setzero_si512());
+    if (!valid) continue;
+    // AoS bucket records (15 u64 = X0..4 Y0..4 Z0..4): one record spans 2
+    // cache lines vs 15 with planar storage — the difference between L2 and
+    // DRAM behavior once B > 2^8
     __m512i idx = _mm512_add_epi64(_mm512_slli_epi64(dig, 3), lane_ids);
+    __m512i idx15 = _mm512_sub_epi64(_mm512_slli_epi64(idx, 4), idx);
+    long long *bkp = (long long *)bk.data();
     J52 acc;
     for (int i = 0; i < 5; i++) {
-      acc.X.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)i * 2048), 8);
-      acc.Y.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)(5 + i) * 2048), 8);
-      acc.Z.l[i] = _mm512_i64gather_epi64(idx, (const long long *)(bk.data() + (size_t)(10 + i) * 2048), 8);
+      acc.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(i)), bkp, 8);
+      acc.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), bkp, 8);
+      acc.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), bkp, 8);
     }
     V52 pxv, pyv;
     for (int i = 0; i < 5; i++) {
@@ -1655,21 +1896,24 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
     }
     j52_madd(C, acc, pxv, pyv, valid);
     for (int i = 0; i < 5; i++) {
-      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)i * 2048), valid, idx, acc.X.l[i], 8);
-      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)(5 + i) * 2048), valid, idx, acc.Y.l[i], 8);
-      _mm512_mask_i64scatter_epi64((long long *)(bk.data() + (size_t)(10 + i) * 2048), valid, idx, acc.Z.l[i], 8);
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(i)), acc.X.l[i], 8);
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), acc.Y.l[i], 8);
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), acc.Z.l[i], 8);
     }
   }
   // suffix combine: wins = sum_d d * bucket[d], lanes independent
   J52 run, tot;
   memset(&run, 0, sizeof(run));
   memset(&tot, 0, sizeof(tot));
-  for (int d = 255; d >= 1; d--) {
+  const long long *bkp = (const long long *)bk.data();
+  __m512i lane15 = _mm512_sub_epi64(_mm512_slli_epi64(lane_ids, 4), lane_ids);
+  for (int d = B - 1; d >= 1; d--) {
     J52 b;
+    __m512i base_d = _mm512_add_epi64(lane15, _mm512_set1_epi64((long long)d * 120));
     for (int i = 0; i < 5; i++) {
-      b.X.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)i * 2048 + (size_t)d * 8));
-      b.Y.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)(5 + i) * 2048 + (size_t)d * 8));
-      b.Z.l[i] = _mm512_loadu_si512((const void *)(bk.data() + (size_t)(10 + i) * 2048 + (size_t)d * 8));
+      b.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(i)), bkp, 8);
+      b.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(5 + i)), bkp, 8);
+      b.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(10 + i)), bkp, 8);
     }
     j52_add(C, run, b);
     j52_add(C, tot, run);
@@ -1698,26 +1942,40 @@ static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
     pxm52 = px52s.data();
     pym52 = py52s.data();
   }
+  // window width: byte digits for small n; 12-bit digits once the window
+  // rounds dominate the bigger bucket suffix (measured crossover ~2^17)
+  const int c = n >= ((size_t)1 << 17) ? 12 : 8;
+  const int W = (254 + c - 1) / c;
+  const int ngroups = (W + 7) / 8;
+  const u64 *sc_use = scalars;
+  std::vector<u64> sc_pad;
+  if (c == 12) {
+    // top-window loads read 8 bytes at offset 31 of the last element — pad
+    sc_pad.assign(scalars, scalars + 4 * n);
+    sc_pad.resize(4 * n + 4, 0);
+    sc_use = sc_pad.data();
+  }
   G1 wins[32];
+  for (auto &w : wins) w.inf = true;
   int nt = use_threads ? num_threads() : 1;
-  if (nt > 4) nt = 4;
+  if (nt > ngroups) nt = ngroups;
   if (nt <= 1 || n < 512) {
-    for (int g = 0; g < 4; g++)
-      msm_ifma_group(pxm52, pym52, scalars, n, g, wins + 8 * g);
+    for (int g = 0; g < ngroups; g++)
+      msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
   } else {
     std::vector<std::thread> threads;
     for (int t = 0; t < nt; t++)
       threads.emplace_back([&, t]() {
-        for (int g = t; g < 4; g += nt)
-          msm_ifma_group(pxm52, pym52, scalars, n, g, wins + 8 * g);
+        for (int g = t; g < ngroups; g += nt)
+          msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
       });
     for (auto &th : threads) th.join();
   }
-  // Horner over the 32 byte-windows
+  // Horner over the W c-bit windows
   G1 acc;
   acc.inf = true;
-  for (int w = 31; w >= 0; w--) {
-    for (int b = 0; b < 8; b++) g1_dbl(acc, acc);
+  for (int w = W - 1; w >= 0; w--) {
+    for (int b = 0; b < c; b++) g1_dbl(acc, acc);
     g1_add(acc, acc, wins[w]);
   }
   result = acc;
@@ -1778,6 +2036,13 @@ void h2t_mul(int field, const u64 *a, const u64 *b, u64 *c, size_t n) {
 #ifdef H2T_IFMA
   if (field == 0) {
     const Ctx52 &C = fr52();
+    for (; i + 16 <= n; i += 16) {
+      V52 x[2], y[2];
+      v52_load_mont2(C, va + i, va + i + 8, x[0], x[1]);
+      v52_load_mont2(C, vb + i, vb + i + 8, y[0], y[1]);
+      v52_mul_n<2>(C, x, y, x);
+      v52_store_canon2(C, x[0], x[1], vc + i, vc + i + 8);
+    }
     for (; i + 8 <= n; i += 8) {
       V52 x, y;
       v52_load_mont(C, va + i, x);
@@ -2177,9 +2442,14 @@ static void expr_eval_chunk_ifma(const u64 *base, size_t nbase, size_t n,
   const size_t wv = w / 8;
   std::vector<V52> buf((nbase + ni) * wv);
   const Fp4 *vb = (const Fp4 *)base;
-  for (size_t b = 0; b < nbase; b++)
-    for (size_t j = 0; j < wv; j++)
+  for (size_t b = 0; b < nbase; b++) {
+    size_t j = 0;
+    for (; j + 2 <= wv; j += 2)
+      v52_load_mont2(C, vb + b * n + lo + 8 * j, vb + b * n + lo + 8 * (j + 1),
+                     buf[b * wv + j], buf[b * wv + j + 1]);
+    for (; j < wv; j++)
       v52_load_mont(C, vb + b * n + lo + 8 * j, buf[b * wv + j]);
+  }
   for (size_t i = 0; i < ni; i++) {
     const int32_t op = instrs[4 * i], s1 = instrs[4 * i + 1],
                   s2 = instrs[4 * i + 2], dst = instrs[4 * i + 3];
@@ -2188,16 +2458,24 @@ static void expr_eval_chunk_ifma(const u64 *base, size_t nbase, size_t n,
     V52 *d = &buf[(size_t)dst * wv];
     if (op == 0)
       for (size_t j = 0; j < wv; j++) v52_add(C, a[j], b[j], d[j]);
-    else if (op == 1)
-      for (size_t j = 0; j < wv; j++) v52_mul(C, a[j], b[j], d[j]);
-    else
+    else if (op == 1) {
+      size_t j = 0;
+      for (; j + 2 <= wv; j += 2) v52_mul_n<2>(C, a + j, b + j, d + j);
+      for (; j < wv; j++) v52_mul(C, a[j], b[j], d[j]);
+    } else
       for (size_t j = 0; j < wv; j++) v52_neg(C, a[j], d[j]);
   }
   Fp4 *vo = (Fp4 *)out;
-  for (size_t o = 0; o < nout; o++)
-    for (size_t j = 0; j < wv; j++)
+  for (size_t o = 0; o < nout; o++) {
+    size_t j = 0;
+    for (; j + 2 <= wv; j += 2)
+      v52_store_canon2(C, buf[(size_t)out_slots[o] * wv + j],
+                       buf[(size_t)out_slots[o] * wv + j + 1],
+                       vo + o * n + lo + 8 * j, vo + o * n + lo + 8 * (j + 1));
+    for (; j < wv; j++)
       v52_store_canon(C, buf[(size_t)out_slots[o] * wv + j],
                       vo + o * n + lo + 8 * j);
+  }
 }
 #endif
 
