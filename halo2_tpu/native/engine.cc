@@ -15,6 +15,8 @@
 // Build: g++ -O3 -shared -fPIC (see native/__init__.py); no deps.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cstddef>
 #include <map>
@@ -324,6 +326,78 @@ static void fp_inv(const FieldCtx &F, const Fp4 &a, Fp4 &out) {
   // e = p - 2 (p is odd and > 2, no borrow beyond limb 0)
   e.l[0] -= 2;
   fp_pow(F, a, e, out);
+}
+
+// ---- fast variable-time inverse (binary extended GCD) for the batched
+// MSM inversion root (Fermat costs ~380 muls; this runs in ~2 us).  Input
+// and output CANONICAL (not Montgomery).  Variable-time is acceptable here:
+// the values inverted are Pippenger bucket x-deltas, already data-dependent
+// through the (public-output) commitment pipeline; noted in NOTES_ROUND5.
+static inline bool u256_is_zero(const Fp4 &a) { return fp_is_zero(a); }
+static inline bool u256_is_even(const Fp4 &a) { return (a.l[0] & 1) == 0; }
+static inline void u256_rshift1(Fp4 &a) {
+  for (int i = 0; i < 3; i++) a.l[i] = (a.l[i] >> 1) | (a.l[i + 1] << 63);
+  a.l[3] >>= 1;
+}
+static inline bool u256_gte(const Fp4 &a, const Fp4 &b) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.l[i] != b.l[i]) return a.l[i] > b.l[i];
+  }
+  return true;
+}
+static inline void u256_sub_raw(Fp4 &a, const Fp4 &b) {  // a -= b (a >= b)
+  u64 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] - b.l[i] - borrow;
+    a.l[i] = (u64)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+}
+
+static void fp_inv_canon_vartime(const FieldCtx &F, const Fp4 &a_canon,
+                                 Fp4 &out_canon) {
+  if (fp_is_zero(a_canon)) {
+    memset(out_canon.l, 0, 32);
+    return;
+  }
+  Fp4 u = a_canon, v = F.p;
+  Fp4 x1 = {{1, 0, 0, 0}}, x2 = {{0, 0, 0, 0}};
+  auto mod_halve = [&](Fp4 &x) {
+    if (u256_is_even(x)) {
+      u256_rshift1(x);
+    } else {
+      // (x + p) / 2 with the carry bit folded into the shift
+      u64 carry = 0;
+      for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)x.l[i] + F.p.l[i] + carry;
+        x.l[i] = (u64)cur;
+        carry = (u64)(cur >> 64);
+      }
+      for (int i = 0; i < 3; i++) x.l[i] = (x.l[i] >> 1) | (x.l[i + 1] << 63);
+      x.l[3] = (x.l[3] >> 1) | (carry << 63);
+    }
+  };
+  auto mod_sub = [&](Fp4 &x, const Fp4 &y) {  // x = (x - y) mod p
+    fp_sub(F, x, y, x);
+  };
+  while (!u256_is_zero(u) && !u256_is_zero(v)) {
+    while (u256_is_even(u)) {
+      u256_rshift1(u);
+      mod_halve(x1);
+    }
+    while (u256_is_even(v)) {
+      u256_rshift1(v);
+      mod_halve(x2);
+    }
+    if (u256_gte(u, v)) {
+      u256_sub_raw(u, v);
+      mod_sub(x1, x2);
+    } else {
+      u256_sub_raw(v, u);
+      mod_sub(x2, x1);
+    }
+  }
+  out_canon = u256_is_zero(u) ? x2 : x1;
 }
 
 // ------------------------------------------------------------- G1 points
@@ -1720,6 +1794,99 @@ static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
   }
 }
 
+// Two independent mixed adds with every multiply paired ACROSS the two
+// streams (within one madd the pairs sit on one dependency chain; across
+// two points they are independent, which is what actually fills the IFMA
+// ports).  Same semantics as two j52_madd calls on disjoint buckets.
+static void j52_madd2(const Ctx52 &C, J52 *pp[2], const V52 px[2],
+                      const V52 py[2], const __mmask8 valid[2]) {
+  V52 z1z1[2], u2[2], s2[2], h[2], hh[2], i4[2], j[2], r1[2], rr[2], v[2];
+  V52 t0[2], t1[2], x3[2], y3[2], z3[2], a2[2], b2[2];
+#define MUL2(dst, sa0, sb0, sa1, sb1)            \
+  {                                              \
+    a2[0] = (sa0);                               \
+    b2[0] = (sb0);                               \
+    a2[1] = (sa1);                               \
+    b2[1] = (sb1);                               \
+    v52_mul_n<2>(C, a2, b2, dst);                \
+  }
+  MUL2(z1z1, pp[0]->Z, pp[0]->Z, pp[1]->Z, pp[1]->Z)
+  MUL2(u2, px[0], z1z1[0], px[1], z1z1[1])
+  MUL2(t0, pp[0]->Z, z1z1[0], pp[1]->Z, z1z1[1])
+  MUL2(s2, py[0], t0[0], py[1], t0[1])
+  for (int s = 0; s < 2; s++) v52_sub(C, u2[s], pp[s]->X, h[s]);
+  MUL2(hh, h[0], h[0], h[1], h[1])
+  for (int s = 0; s < 2; s++) {
+    v52_add(C, hh[s], hh[s], i4[s]);
+    v52_add(C, i4[s], i4[s], i4[s]);
+  }
+  MUL2(j, h[0], i4[0], h[1], i4[1])
+  MUL2(v, pp[0]->X, i4[0], pp[1]->X, i4[1])
+  for (int s = 0; s < 2; s++) {
+    v52_sub(C, s2[s], pp[s]->Y, r1[s]);
+    v52_add(C, r1[s], r1[s], rr[s]);
+  }
+  MUL2(x3, rr[0], rr[0], rr[1], rr[1])
+  MUL2(t1, pp[0]->Y, j[0], pp[1]->Y, j[1])
+  for (int s = 0; s < 2; s++) {
+    v52_sub(C, x3[s], j[s], x3[s]);
+    v52_add(C, v[s], v[s], t0[s]);
+    v52_sub(C, x3[s], t0[s], x3[s]);
+    v52_sub(C, v[s], x3[s], t0[s]);
+    v52_add(C, pp[s]->Z, h[s], z3[s]);
+  }
+  MUL2(y3, rr[0], t0[0], rr[1], t0[1])
+  MUL2(z3, z3[0], z3[0], z3[1], z3[1])
+  for (int s = 0; s < 2; s++) {
+    v52_add(C, t1[s], t1[s], t1[s]);
+    v52_sub(C, y3[s], t1[s], y3[s]);
+    v52_sub(C, z3[s], z1z1[s], z3[s]);
+    v52_sub(C, z3[s], hh[s], z3[s]);
+
+    __mmask8 p_inf = v52_is_zero(C, pp[s]->Z);
+    __mmask8 same =
+        valid[s] & v52_is_zero(C, h[s]) & v52_is_zero(C, rr[s]) & ~p_inf;
+    V52 onev;
+    v52_bcast_elem(one52_fq(), onev);
+    J52 out;
+    out.X = x3[s];
+    out.Y = y3[s];
+    out.Z = z3[s];
+    v52_select(p_inf, px[s], out.X, out.X);
+    v52_select(p_inf, py[s], out.Y, out.Y);
+    v52_select(p_inf, onev, out.Z, out.Z);
+    v52_select(valid[s], out.X, pp[s]->X, pp[s]->X);
+    v52_select(valid[s], out.Y, pp[s]->Y, pp[s]->Y);
+    v52_select(valid[s], out.Z, pp[s]->Z, pp[s]->Z);
+    if (same) {
+      for (int lane = 0; lane < 8; lane++) {
+        if (!((same >> lane) & 1)) continue;
+        G1 g;
+        alignas(64) u64 tmp[8];
+        u64 t5[5];
+        Fp4 ax, ay;
+        for (int i = 0; i < 5; i++) {
+          _mm512_store_si512((void *)tmp, px[s].l[i]);
+          t5[i] = tmp[lane];
+        }
+        lane_to_mont64(FQ, t5, ax);
+        for (int i = 0; i < 5; i++) {
+          _mm512_store_si512((void *)tmp, py[s].l[i]);
+          t5[i] = tmp[lane];
+        }
+        lane_to_mont64(FQ, t5, ay);
+        g.X = ax;
+        g.Y = ay;
+        g.Z = FQ.one;
+        g.inf = false;
+        g1_dbl(g, g);
+        j52_set_lane(*pp[s], lane, g);
+      }
+    }
+  }
+#undef MUL2
+}
+
 // complete Jacobian add: p += q (both may be infinity); equal-point lanes
 // fall back to scalar doubling.
 static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
@@ -1840,20 +2007,56 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
   const int W = (254 + c - 1) / c;
   // c=12 digit-gather tables
   __m512i off_v = _mm512_setzero_si512(), sh_v = off_v, msk_v = off_v;
-  if (c == 12) {
+  if (c != 8) {
     alignas(64) long long offs[8], shs[8], msks[8];
     for (int l = 0; l < 8; l++) {
       int w = group * 8 + l;
-      int bit = 12 * w;
+      int bit = c * w;
       offs[l] = w < W ? bit >> 3 : 0;
       shs[l] = w < W ? (bit & 7) : 0;
-      int remaining = w < W ? (254 - bit < 12 ? 254 - bit : 12) : 0;
+      int remaining = w < W ? (254 - bit < c ? 254 - bit : c) : 0;
       msks[l] = remaining > 0 ? ((1LL << remaining) - 1) : 0;
     }
     off_v = _mm512_load_si512((const void *)offs);
     sh_v = _mm512_load_si512((const void *)shs);
     msk_v = _mm512_load_si512((const void *)msks);
   }
+  long long *bkp = (long long *)bk.data();
+  // AoS bucket records (15 u64 = X0..4 Y0..4 Z0..4): one record spans 2
+  // cache lines vs 15 with planar storage — the difference between L2 and
+  // DRAM behavior once B > 2^8
+  auto gather_acc = [&](const __m512i &idx15, J52 &acc) {
+    for (int i = 0; i < 5; i++) {
+      acc.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(i)), bkp, 8);
+      acc.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), bkp, 8);
+      acc.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), bkp, 8);
+    }
+  };
+  auto scatter_acc = [&](const __m512i &idx15, __mmask8 valid, const J52 &acc) {
+    for (int i = 0; i < 5; i++) {
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(i)), acc.X.l[i], 8);
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), acc.Y.l[i], 8);
+      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), acc.Z.l[i], 8);
+    }
+  };
+  struct Pend {
+    __m512i idx15;
+    __mmask8 valid;
+    const u64 *px, *py;
+  };
+  Pend pend[2];
+  int npend = 0;
+  auto flush_one = [&](const Pend &P) {
+    J52 acc;
+    gather_acc(P.idx15, acc);
+    V52 pxv, pyv;
+    for (int i = 0; i < 5; i++) {
+      pxv.l[i] = bcast(P.px[i]);
+      pyv.l[i] = bcast(P.py[i]);
+    }
+    j52_madd(C, acc, pxv, pyv, P.valid);
+    scatter_acc(P.idx15, P.valid, acc);
+  };
   for (size_t e = 0; e < n; e++) {
     const u64 *sc = scalars + 4 * e;
     if ((sc[0] | sc[1] | sc[2] | sc[3]) == 0) continue;
@@ -1877,35 +2080,53 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
     __mmask8 valid =
         _mm512_cmpneq_epu64_mask(dig, _mm512_setzero_si512());
     if (!valid) continue;
-    // AoS bucket records (15 u64 = X0..4 Y0..4 Z0..4): one record spans 2
-    // cache lines vs 15 with planar storage — the difference between L2 and
-    // DRAM behavior once B > 2^8
     __m512i idx = _mm512_add_epi64(_mm512_slli_epi64(dig, 3), lane_ids);
-    __m512i idx15 = _mm512_sub_epi64(_mm512_slli_epi64(idx, 4), idx);
-    long long *bkp = (long long *)bk.data();
-    J52 acc;
-    for (int i = 0; i < 5; i++) {
-      acc.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(i)), bkp, 8);
-      acc.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), bkp, 8);
-      acc.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), bkp, 8);
+    if (getenv("H2T_BOUNDS")) {
+      alignas(64) u64 iv[8];
+      _mm512_store_si512((void *)iv, idx);
+      for (int l = 0; l < 8; l++)
+        if (iv[l] >= (u64)B * 8) {
+          fprintf(stderr, "BAD idx lane %d: %llu (B=%d c=%d group=%d e=%zu)\n",
+                  l, (unsigned long long)iv[l], B, c, group, e);
+          abort();
+        }
     }
-    V52 pxv, pyv;
-    for (int i = 0; i < 5; i++) {
-      pxv.l[i] = bcast(pxe[i]);
-      pyv.l[i] = bcast(pye[i]);
+    pend[npend].idx15 = _mm512_sub_epi64(_mm512_slli_epi64(idx, 4), idx);
+    pend[npend].valid = valid;
+    pend[npend].px = pxe;
+    pend[npend].py = pye;
+    npend++;
+    if (npend < 2) continue;
+    npend = 0;
+    // same-bucket conflict between the two pending points -> serialize
+    __mmask8 conf = pend[0].valid & pend[1].valid &
+                    _mm512_cmpeq_epu64_mask(pend[0].idx15, pend[1].idx15);
+    if (conf) {
+      flush_one(pend[0]);
+      flush_one(pend[1]);
+      continue;
     }
-    j52_madd(C, acc, pxv, pyv, valid);
+    J52 accA, accB;
+    gather_acc(pend[0].idx15, accA);
+    gather_acc(pend[1].idx15, accB);
+    V52 px2[2], py2[2];
     for (int i = 0; i < 5; i++) {
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(i)), acc.X.l[i], 8);
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), acc.Y.l[i], 8);
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), acc.Z.l[i], 8);
+      px2[0].l[i] = bcast(pend[0].px[i]);
+      py2[0].l[i] = bcast(pend[0].py[i]);
+      px2[1].l[i] = bcast(pend[1].px[i]);
+      py2[1].l[i] = bcast(pend[1].py[i]);
     }
+    J52 *pp[2] = {&accA, &accB};
+    __mmask8 vv[2] = {pend[0].valid, pend[1].valid};
+    j52_madd2(C, pp, px2, py2, vv);
+    scatter_acc(pend[0].idx15, pend[0].valid, accA);
+    scatter_acc(pend[1].idx15, pend[1].valid, accB);
   }
+  if (npend) flush_one(pend[0]);
   // suffix combine: wins = sum_d d * bucket[d], lanes independent
   J52 run, tot;
   memset(&run, 0, sizeof(run));
   memset(&tot, 0, sizeof(tot));
-  const long long *bkp = (const long long *)bk.data();
   __m512i lane15 = _mm512_sub_epi64(_mm512_slli_epi64(lane_ids, 4), lane_ids);
   for (int d = B - 1; d >= 1; d--) {
     J52 b;
@@ -1916,6 +2137,415 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
       b.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(10 + i)), bkp, 8);
     }
     j52_add(C, run, b);
+    j52_add(C, tot, run);
+  }
+  for (int lane = 0; lane < 8; lane++) j52_get_lane(tot, lane, wins[lane]);
+}
+
+// ------------------------------------------------- batch-affine Pippenger
+// Buckets live in AFFINE coordinates (10-u64 records + occupancy array) and
+// additions run as batched affine adds: one shared inversion per ~256-point
+// batch (product tree + a single scalar binary-xgcd inverse) makes the
+// per-add cost ~6 vector muls vs ~11 for the Jacobian madd, and bucket
+// gathers shrink by a third.  Within a batch every (lane, bucket) target is
+// unique (a stamp array defers same-bucket collisions to a later batch —
+// bucket sums are order-independent).  The gnark/"batch affine" design,
+// rebuilt lane-parallel.  Exceptional lanes (empty bucket, P == ±Q) are
+// handled by selects; the true-doubling case falls back to scalar.
+
+static inline __mmask8 v52_eq_exact(const V52 &a, const V52 &b) {
+  __mmask8 m = _mm512_cmpeq_epu64_mask(a.l[0], b.l[0]);
+  for (int i = 1; i < 5; i++) m &= _mm512_cmpeq_epu64_mask(a.l[i], b.l[i]);
+  return m;
+}
+
+// canonicalize a value < 4p to exact < p (two conditional subtracts)
+static inline void v52_canon4(const Ctx52 &C, V52 &a) {
+  v52_condsub(C.p2, a);
+  v52_condsub(C.p, a);
+}
+
+struct AffBatchRow {
+  __m512i idx;       // bucket index per lane (dig*8 + lane)
+  __mmask8 accept;   // lanes actually added this batch
+  __mmask8 empty;    // accepted lanes whose bucket was unoccupied
+  __mmask8 dbl;      // accepted lanes needing a true doubling (scalar path)
+  __mmask8 opp;      // accepted lanes where bucket == -point (-> empty)
+  const u64 *px, *py;
+};
+
+struct AffDeferred {
+  const u64 *px, *py;
+  alignas(64) u64 dig[8];
+};
+
+static void msm_affine_group(const u64 *pxm52, const u64 *pym52,
+                             const u64 *scalars, size_t n, int c, int group,
+                             G1 wins[8]) {
+  const Ctx52 &C = fq52();
+  const int B = 1 << c;
+  const int W = (254 + c - 1) / c;
+  const size_t RB = 256;
+  std::vector<u64> bk((size_t)B * 8 * 10, 0);   // affine records x0..4 y0..4
+  std::vector<u64> occ((size_t)B * 8, 0);       // 1 = occupied
+  std::vector<u64> stamps((size_t)B * 8, 0);    // last batch id that claimed
+  u64 batch_id = 0;
+  const __m512i lane_ids = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+  // digit extraction tables (same scheme as msm_ifma_group)
+  alignas(64) long long offs[8], shs[8], msks[8];
+  for (int l = 0; l < 8; l++) {
+    int w = group * 8 + l;
+    int bit = c * w;
+    offs[l] = w < W ? bit >> 3 : 0;
+    shs[l] = w < W ? (bit & 7) : 0;
+    int remaining = w < W ? (254 - bit < c ? 254 - bit : c) : 0;
+    msks[l] = remaining > 0 ? ((1LL << remaining) - 1) : 0;
+  }
+  const __m512i off_v = _mm512_load_si512((const void *)offs);
+  const __m512i sh_v = _mm512_load_si512((const void *)shs);
+  const __m512i msk_v = _mm512_load_si512((const void *)msks);
+
+  long long *bkp = (long long *)bk.data();
+  long long *occp = (long long *)occ.data();
+  long long *stp = (long long *)stamps.data();
+
+  std::vector<V52> bx(RB), by(RB), pxv(RB), pyv(RB), den(RB), num(RB);
+  std::vector<AffBatchRow> rows(RB);
+  std::vector<V52> tree(2 * RB);  // product tree scratch
+  std::vector<AffDeferred> defer, defer_next;
+
+  V52 onev;
+  v52_bcast_elem(one52_fq(), onev);
+  size_t ndbl = 0, nopp = 0;
+
+  auto add_row = [&](const u64 *pxe, const u64 *pye, __m512i dig,
+                     size_t &m) -> void {
+    __mmask8 valid = _mm512_cmpneq_epu64_mask(dig, _mm512_setzero_si512());
+    if (!valid) return;
+    __m512i idx = _mm512_add_epi64(_mm512_slli_epi64(dig, 3), lane_ids);
+    __m512i st = _mm512_mask_i64gather_epi64(_mm512_setzero_si512(), valid,
+                                             idx, stp, 8);
+    __mmask8 conflict =
+        valid & _mm512_cmpeq_epu64_mask(st, _mm512_set1_epi64((long long)batch_id));
+    __mmask8 accept = valid & ~conflict;
+    if (conflict && !getenv("H2T_AFF_NODEFER")) {
+      AffDeferred d;
+      d.px = pxe;
+      d.py = pye;
+      _mm512_store_si512((void *)d.dig,
+                         _mm512_maskz_mov_epi64(conflict, dig));
+      defer_next.push_back(d);
+    }
+    if (!accept) return;
+    _mm512_mask_i64scatter_epi64(stp, accept, idx,
+                                 _mm512_set1_epi64((long long)batch_id), 8);
+    AffBatchRow &R = rows[m];
+    R.idx = idx;
+    R.accept = accept;
+    R.px = pxe;
+    R.py = pye;
+    // gather occupancy + bucket coords
+    __m512i occv = _mm512_mask_i64gather_epi64(_mm512_setzero_si512(), accept,
+                                               idx, occp, 8);
+    R.empty = accept & _mm512_cmpeq_epu64_mask(occv, _mm512_setzero_si512());
+    __m512i idx10 = _mm512_add_epi64(_mm512_slli_epi64(R.idx, 3),
+                                     _mm512_slli_epi64(R.idx, 1));
+    for (int i = 0; i < 5; i++) {
+      bx[m].l[i] = _mm512_i64gather_epi64(
+          _mm512_add_epi64(idx10, _mm512_set1_epi64(i)), bkp, 8);
+      by[m].l[i] = _mm512_i64gather_epi64(
+          _mm512_add_epi64(idx10, _mm512_set1_epi64(5 + i)), bkp, 8);
+      pxv[m].l[i] = bcast(pxe[i]);
+      pyv[m].l[i] = bcast(pye[i]);
+    }
+    __mmask8 samex = R.accept & ~R.empty & v52_eq_exact(bx[m], pxv[m]);
+    R.dbl = samex & v52_eq_exact(by[m], pyv[m]);
+    R.opp = samex & ~R.dbl;
+    ndbl += __builtin_popcount(R.dbl);
+    nopp += __builtin_popcount(R.opp);
+    // den = px - bx (lazy, < 2p); special lanes -> 1
+    V52 d_, nm_;
+    __m512i carry;
+    for (int i = 0; i < 5; i++) {
+      d_.l[i] = _mm512_add_epi64(pxv[m].l[i], bcast(C.p[i]));
+      d_.l[i] = _mm512_sub_epi64(d_.l[i], bx[m].l[i]);
+      nm_.l[i] = _mm512_add_epi64(pyv[m].l[i], bcast(C.p[i]));
+      nm_.l[i] = _mm512_sub_epi64(nm_.l[i], by[m].l[i]);
+    }
+    // limb-normalize (values < 2p, limbs may be 53-bit)
+    const __m512i mask = MASK52;
+    carry = _mm512_setzero_si512();
+    __m512i carry2 = _mm512_setzero_si512();
+    for (int i = 0; i < 5; i++) {
+      __m512i s1 = _mm512_add_epi64(d_.l[i], carry);
+      carry = _mm512_srai_epi64(s1, 52);
+      d_.l[i] = _mm512_and_si512(s1, mask);
+      __m512i s2 = _mm512_add_epi64(nm_.l[i], carry2);
+      carry2 = _mm512_srai_epi64(s2, 52);
+      nm_.l[i] = _mm512_and_si512(s2, mask);
+    }
+    __mmask8 special = R.empty | R.dbl | R.opp | ~R.accept;
+    v52_select(special, onev, d_, den[m]);
+    num[m] = nm_;
+    m++;
+  };
+
+  auto process_batch = [&](size_t m) {
+    if (m == 0) return;
+    // ---- product tree over den[0..m-1] (pad to pow2 with ones)
+    size_t mp = 1;
+    while (mp < m) mp <<= 1;
+    for (size_t i = 0; i < m; i++) tree[mp + i] = den[i];
+    for (size_t i = m; i < mp; i++) tree[mp + i] = onev;
+    for (size_t lvl = mp >> 1; lvl >= 1; lvl >>= 1) {
+      size_t i = lvl;
+      for (; i + 2 <= 2 * lvl; i += 2) {
+        V52 a2[2] = {tree[2 * i], tree[2 * (i + 1)]};
+        V52 b2[2] = {tree[2 * i + 1], tree[2 * (i + 1) + 1]};
+        V52 o2[2];
+        v52_mul_n<2>(C, a2, b2, o2);
+        tree[i] = o2[0];
+        tree[i + 1] = o2[1];
+      }
+      for (; i < 2 * lvl; i++) v52_mul(C, tree[2 * i], tree[2 * i + 1], tree[i]);
+    }
+    // ---- scalar root inverse across the 8 lanes
+    Fp4 lane64[8], pref[8];
+    for (int l = 0; l < 8; l++) {
+      alignas(64) u64 tmp[8];
+      u64 t5[5];
+      for (int i = 0; i < 5; i++) {
+        _mm512_store_si512((void *)tmp, tree[1].l[i]);
+        t5[i] = tmp[l];
+      }
+      lane_to_mont64(FQ, t5, lane64[l]);
+    }
+    Fp4 run = FQ.one;
+    for (int l = 0; l < 8; l++) {
+      pref[l] = run;
+      fp_mul(FQ, run, lane64[l], run);
+    }
+    Fp4 total_canon, total_inv_canon, total_inv_m;
+    fp_from_mont(FQ, run, total_canon);
+    fp_inv_canon_vartime(FQ, total_canon, total_inv_canon);
+    fp_to_mont(FQ, total_inv_canon, total_inv_m);
+    // lane_inv[l] = total_inv * prod_{k>l} lane64[k] * pref[l]
+    Fp4 suf = FQ.one;
+    V52 rootinv;
+    memset(&rootinv, 0, sizeof(rootinv));
+    for (int l = 7; l >= 0; l--) {
+      Fp4 inv_l, t;
+      fp_mul(FQ, total_inv_m, suf, t);
+      fp_mul(FQ, t, pref[l], inv_l);
+      fp_mul(FQ, suf, lane64[l], suf);
+      u64 t5[5];
+      mont64_to_lane(FQ, inv_l, t5);
+      alignas(64) u64 tmp[8];
+      for (int i = 0; i < 5; i++) {
+        _mm512_store_si512((void *)tmp, rootinv.l[i]);
+        tmp[l] = t5[i];
+        rootinv.l[i] = _mm512_load_si512((const void *)tmp);
+      }
+    }
+    // ---- down-sweep: tree[i] holds product; invert downwards
+    // reuse tree[] top as inverse storage: inv(1) = rootinv
+    std::vector<V52> &inv = tree;  // alias: overwrite as we descend
+    V52 root_saved = inv[1];
+    inv[1] = rootinv;
+    (void)root_saved;
+    for (size_t i = 1; i < mp; i++) {
+      V52 a2[2], b2[2], o2[2];
+      a2[0] = inv[i];
+      b2[0] = tree[2 * i + 1];
+      a2[1] = inv[i];
+      b2[1] = tree[2 * i];
+      v52_mul_n<2>(C, a2, b2, o2);  // inv(left) | inv(right)
+      inv[2 * i] = o2[0];
+      inv[2 * i + 1] = o2[1];
+    }
+    // ---- per-row affine adds, muls paired across rows (independent chains)
+    static thread_local std::vector<V52> lam_v, x3_v;
+    lam_v.resize(m);
+    x3_v.resize(m);
+    {
+      size_t r = 0;
+      for (; r + 2 <= m; r += 2) {
+        V52 a2[2] = {num[r], num[r + 1]};
+        V52 b2[2] = {inv[mp + r], inv[mp + r + 1]};
+        v52_mul_n<2>(C, a2, b2, &lam_v[r]);
+      }
+      for (; r < m; r++) v52_mul(C, num[r], inv[mp + r], lam_v[r]);
+      r = 0;
+      for (; r + 2 <= m; r += 2) {
+        V52 a2[2] = {lam_v[r], lam_v[r + 1]};
+        v52_mul_n<2>(C, a2, a2, &x3_v[r]);
+      }
+      for (; r < m; r++) v52_mul(C, lam_v[r], lam_v[r], x3_v[r]);
+      // x3 = lam^2 - bx - px; t (stored into num) = bx - x3
+      const __m512i mask = MASK52;
+      for (r = 0; r < m; r++) {
+        __m512i carry = _mm512_setzero_si512();
+        V52 &x3 = x3_v[r];
+        for (int i = 0; i < 5; i++) {
+          __m512i s = _mm512_add_epi64(x3.l[i], bcast(C.p2[i]));
+          s = _mm512_sub_epi64(s, _mm512_add_epi64(bx[r].l[i], pxv[r].l[i]));
+          s = _mm512_add_epi64(s, carry);
+          carry = _mm512_srai_epi64(s, 52);
+          x3.l[i] = _mm512_and_si512(s, mask);
+        }
+        v52_condsub(C.p2, x3);
+        v52_condsub(C.p, x3);
+        carry = _mm512_setzero_si512();
+        for (int i = 0; i < 5; i++) {
+          __m512i s = _mm512_add_epi64(bx[r].l[i], bcast(C.p[i]));
+          s = _mm512_sub_epi64(s, x3.l[i]);
+          s = _mm512_add_epi64(s, carry);
+          carry = _mm512_srai_epi64(s, 52);
+          num[r].l[i] = _mm512_and_si512(s, mask);
+        }
+      }
+      // y3 = lam*t - by (stored into lam_v)
+      r = 0;
+      for (; r + 2 <= m; r += 2) {
+        V52 a2[2] = {lam_v[r], lam_v[r + 1]};
+        V52 b2[2] = {num[r], num[r + 1]};
+        v52_mul_n<2>(C, a2, b2, &lam_v[r]);
+      }
+      for (; r < m; r++) v52_mul(C, lam_v[r], num[r], lam_v[r]);
+    }
+    for (size_t r = 0; r < m; r += 1) {
+      AffBatchRow &R = rows[r];
+      V52 x3 = x3_v[r], y3 = lam_v[r];
+      const __m512i mask = MASK52;
+      __m512i carry = _mm512_setzero_si512();
+      for (int i = 0; i < 5; i++) {
+        __m512i s = _mm512_add_epi64(y3.l[i], bcast(C.p[i]));
+        s = _mm512_sub_epi64(s, by[r].l[i]);
+        s = _mm512_add_epi64(s, carry);
+        carry = _mm512_srai_epi64(s, 52);
+        y3.l[i] = _mm512_and_si512(s, mask);
+      }
+      v52_condsub(C.p2, y3);
+      v52_condsub(C.p, y3);
+      // selects: empty -> point; opp handled via occ=0 (coords don't matter)
+      v52_select(R.empty, pxv[r], x3, x3);
+      v52_select(R.empty, pyv[r], y3, y3);
+      __mmask8 wr = R.accept & ~R.dbl;
+      __m512i idx10 = _mm512_add_epi64(_mm512_slli_epi64(R.idx, 3),
+                                       _mm512_slli_epi64(R.idx, 1));
+      for (int i = 0; i < 5; i++) {
+        _mm512_mask_i64scatter_epi64(bkp, wr,
+                                     _mm512_add_epi64(idx10, _mm512_set1_epi64(i)),
+                                     x3.l[i], 8);
+        _mm512_mask_i64scatter_epi64(bkp, wr,
+                                     _mm512_add_epi64(idx10, _mm512_set1_epi64(5 + i)),
+                                     y3.l[i], 8);
+      }
+      // occupancy: 1 everywhere written except opp -> 0
+      _mm512_mask_i64scatter_epi64(occp, wr, R.idx,
+                                   _mm512_set1_epi64(1), 8);
+      _mm512_mask_i64scatter_epi64(occp, R.opp, R.idx,
+                                   _mm512_setzero_si512(), 8);
+      if (R.dbl && !getenv("H2T_AFF_NODBL")) {
+        // true doubling (rare): scalar affine double of the point
+        for (int lane = 0; lane < 8; lane++) {
+          if (!((R.dbl >> lane) & 1)) continue;
+          alignas(64) u64 tmp[8];
+          u64 t5[5];
+          Fp4 ax, ay;
+          for (int i = 0; i < 5; i++) {
+            _mm512_store_si512((void *)tmp, pxv[r].l[i]);
+            t5[i] = tmp[lane];
+          }
+          lane_to_mont64(FQ, t5, ax);
+          for (int i = 0; i < 5; i++) {
+            _mm512_store_si512((void *)tmp, pyv[r].l[i]);
+            t5[i] = tmp[lane];
+          }
+          lane_to_mont64(FQ, t5, ay);
+          G1 g;
+          g.X = ax;
+          g.Y = ay;
+          g.Z = FQ.one;
+          g.inf = false;
+          g1_dbl(g, g);
+          // to affine canonical mont52 record
+          Fp4 zi, zi2, zi3, gx, gy;
+          fp_inv(FQ, g.Z, zi);
+          fp_sqr(FQ, zi, zi2);
+          fp_mul(FQ, zi2, zi, zi3);
+          fp_mul(FQ, g.X, zi2, gx);
+          fp_mul(FQ, g.Y, zi3, gy);
+          u64 x5[5], y5[5];
+          mont64_to_lane(FQ, gx, x5);
+          mont64_to_lane(FQ, gy, y5);
+          alignas(64) u64 idxs[8];
+          _mm512_store_si512((void *)idxs, R.idx);
+          u64 *rec = bk.data() + idxs[lane] * 10;
+          for (int i = 0; i < 5; i++) {
+            rec[i] = x5[i];
+            rec[5 + i] = y5[i];
+          }
+          occ[idxs[lane]] = 1;
+        }
+      }
+    }
+  };
+
+  // ---- main loop: deferred rows first, then fresh points
+  size_t nbatches = 0, nrows = 0, ndefer = 0;
+  size_t e = 0;
+  while (e < n || !defer.empty() || !defer_next.empty()) {
+    nbatches++;
+    if (defer.empty() && e >= n) {
+      defer.swap(defer_next);
+    }
+    batch_id++;
+    size_t m = 0;
+    while (m < RB && !defer.empty()) {
+      AffDeferred d = defer.back();
+      defer.pop_back();
+      add_row(d.px, d.py, _mm512_load_si512((const void *)d.dig), m);
+    }
+    while (m < RB && e < n) {
+      const u64 *sc = scalars + 4 * e;
+      const u64 *pxe = pxm52 + 5 * e;
+      const u64 *pye = pym52 + 5 * e;
+      e++;
+      if ((sc[0] | sc[1] | sc[2] | sc[3]) == 0) continue;
+      if ((pxe[0] | pxe[1] | pxe[2] | pxe[3] | pxe[4] | pye[0] | pye[1] |
+           pye[2] | pye[3] | pye[4]) == 0)
+        continue;
+      __m512i raw = _mm512_i64gather_epi64(off_v, (const long long *)sc, 1);
+      __m512i dig = _mm512_and_si512(_mm512_srlv_epi64(raw, sh_v), msk_v);
+      add_row(pxe, pye, dig, m);
+    }
+    nrows += m;
+    ndefer += defer_next.size();
+    process_batch(m);
+    if (defer.empty()) defer.swap(defer_next);
+  }
+  if (getenv("H2T_MSM_DEBUG"))
+    fprintf(stderr, "[affine g%d] batches=%zu rows=%zu defer=%zu dbl=%zu opp=%zu\n",
+            group, nbatches, nrows, ndefer, ndbl, nopp);
+
+  // ---- suffix combine over affine buckets (Jacobian run/tot, mixed adds)
+  J52 run, tot;
+  memset(&run, 0, sizeof(run));
+  memset(&tot, 0, sizeof(tot));
+  __m512i lane10 = _mm512_add_epi64(_mm512_slli_epi64(lane_ids, 3),
+                                    _mm512_slli_epi64(lane_ids, 1));
+  for (int d = B - 1; d >= 1; d--) {
+    V52 bxd, byd;
+    __m512i base_d = _mm512_add_epi64(lane10, _mm512_set1_epi64((long long)d * 80));
+    for (int i = 0; i < 5; i++) {
+      bxd.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(i)), bkp, 8);
+      byd.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(5 + i)), bkp, 8);
+    }
+    __m512i occv = _mm512_i64gather_epi64(
+        _mm512_add_epi64(_mm512_set1_epi64((long long)d * 8), lane_ids), occp, 8);
+    __mmask8 valid = _mm512_cmpneq_epu64_mask(occv, _mm512_setzero_si512());
+    if (valid) j52_madd(C, run, bxd, byd, valid);
     j52_add(C, tot, run);
   }
   for (int lane = 0; lane < 8; lane++) j52_get_lane(tot, lane, wins[lane]);
@@ -1942,14 +2572,17 @@ static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
     pxm52 = px52s.data();
     pym52 = py52s.data();
   }
-  // window width: byte digits for small n; 12-bit digits once the window
-  // rounds dominate the bigger bucket suffix (measured crossover ~2^17)
-  const int c = n >= ((size_t)1 << 17) ? 12 : 8;
+  // Window width: byte digits + Jacobian buckets for small n; batch-affine
+  // with 11-bit (24 windows = 3 full lane groups) or 12-bit digits once the
+  // batch inversion amortizes.  Affine batching needs enough buckets that
+  // intra-batch collisions stay rare, hence no c=8 affine tier.
+  int c = n < ((size_t)1 << 17) ? 8 : 12;
+  if (const char *cenv = getenv("H2T_MSM_C")) c = atoi(cenv);
   const int W = (254 + c - 1) / c;
   const int ngroups = (W + 7) / 8;
   const u64 *sc_use = scalars;
   std::vector<u64> sc_pad;
-  if (c == 12) {
+  if (c != 8) {
     // top-window loads read 8 bytes at offset 31 of the last element — pad
     sc_pad.assign(scalars, scalars + 4 * n);
     sc_pad.resize(4 * n + 4, 0);
@@ -1957,17 +2590,36 @@ static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
   }
   G1 wins[32];
   for (auto &w : wins) w.inf = true;
+  auto run_group = [&](int g) {
+    // The batch-affine path measured SLOWER than the interleaved Jacobian
+    // madd on this 2-core part (gathers + per-row batch machinery outweigh
+    // the 11->6 mul saving); it stays available for wider parts via
+    // H2T_MSM_AFFINE=1.  The LAST group always runs Jacobian: its narrow
+    // top window (1-2 bit digit space) would collapse the batch-affine
+    // deferral into a quadratic retry storm.
+    if (c == 8 || g == ngroups - 1 || !getenv("H2T_MSM_AFFINE"))
+      msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
+    else
+      msm_affine_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
+  };
   int nt = use_threads ? num_threads() : 1;
   if (nt > ngroups) nt = ngroups;
   if (nt <= 1 || n < 512) {
-    for (int g = 0; g < ngroups; g++)
-      msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
+    for (int g = 0; g < ngroups; g++) run_group(g);
+  } else if (nt == 2 && ngroups == 3 && c != 8) {
+    // cost-aware split: the Jacobian last group costs ~2x an affine group
+    std::vector<std::thread> threads;
+    threads.emplace_back([&]() { run_group(ngroups - 1); });
+    threads.emplace_back([&]() {
+      run_group(0);
+      run_group(1);
+    });
+    for (auto &th : threads) th.join();
   } else {
     std::vector<std::thread> threads;
     for (int t = 0; t < nt; t++)
       threads.emplace_back([&, t]() {
-        for (int g = t; g < ngroups; g += nt)
-          msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
+        for (int g = t; g < ngroups; g += nt) run_group(g);
       });
     for (auto &th : threads) th.join();
   }
