@@ -37,23 +37,35 @@ from ..field.pallas_mul import (
     TILE,
     mont_consts,
     mont_in_specs,
-    _mod_add_vmem,
     _mod_sub_vmem,
-    _mont_mul_vmem,
-    _mont_sqr_vmem,
+    _condsub2p,
+    _dbl_lazy,
+    _mont_mul_lazy,
+    _mont_sqr_lazy,
+    fat_kp_np,
+    p2_np,
 )
 
 
-def _ops(tmat, tsqr, m2, m3, p):
-    mul = lambda x, y: _mont_mul_vmem(x, y, tmat, m2, m3, p)  # noqa: E731
-    sqr = lambda x: _mont_sqr_vmem(x, tsqr, m2, m3, p)  # noqa: E731
-    add = lambda x, y: _mod_add_vmem(x, y, p)  # noqa: E731
-    sub = lambda x, y: _mod_sub_vmem(x, y, p)  # noqa: E731
-    return mul, sqr, add, sub
+def _lazy_ops(tmat, tsqr, m2, m3, p, p2, fat3):
+    """Round-5 carry-save schedule: multiplies skip the canonical
+    conditional subtract (outputs < 1.8p for inputs < 2p — p = 0.189*2^256
+    leaves slack up to 5.29p), subtractions run 2^256-complement style with
+    a +2p wrap (output < 2p), and one additive tail folds into the squaring
+    reducer's high half.  Stored coordinates stay < 2p in 16-bit limbs; the
+    host tail reduces mod p when decoding (SURVEY §2c MSM; NOTES_ROUND4
+    carry-save queue)."""
+    mul = lambda x, y, off=None: _mont_mul_lazy(x, y, tmat, m2, m3, off)  # noqa: E731
+    sqr = lambda x, off=None: _mont_sqr_lazy(x, tsqr, m2, m3, off)  # noqa: E731
+    sub2 = lambda x, y: _mod_sub_vmem(x, y, p2)  # noqa: E731  a-b (+2p), <2p... see note
+    return mul, sqr, sub2
 
 
-def _is_zero(v):
-    return jnp.all(v == 0, axis=0, keepdims=True)  # (1, T)
+def _is_zero_rep(v, p_limbs):
+    """value ≡ 0 mod p for a < 2p representative: limbs all zero or == p."""
+    zero = jnp.all(v == 0, axis=0, keepdims=True)
+    eq_p = jnp.all(v == jnp.broadcast_to(p_limbs, v.shape), axis=0, keepdims=True)
+    return zero | eq_p  # (1, T)
 
 
 def _sel(mask, a, b):
@@ -63,34 +75,44 @@ def _sel(mask, a, b):
 
 def _madd_kernel(
     ax_ref, ay_ref, az_ref, qx_ref, qy_ref, valid_ref,
-    tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, one_ref,
+    tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, p2_ref, fat3_ref, one_ref,
     ox_ref, oy_ref, oz_ref, same_ref,
 ):
-    mul, sqr, add, sub = _ops(
-        tmat_ref[:], tsqr_ref[:], m2_ref[:], m3_ref[:], p_ref[:]
+    p = p_ref[:]
+    p2 = p2_ref[:]
+    fat3 = fat3_ref[:]
+    mul, sqr, sub2 = _lazy_ops(
+        tmat_ref[:], tsqr_ref[:], m2_ref[:], m3_ref[:], p, p2, fat3
     )
     ax, ay, az = ax_ref[:], ay_ref[:], az_ref[:]
     qx, qy = qx_ref[:], qy_ref[:]
     valid = valid_ref[:] != 0  # (1, T)
 
-    z1z1 = sqr(az)
+    # madd-2007-bl with lambda = 1/2 scaled output (X/4, Y/8, Z/2): the
+    # window-sum consumer is projective, so the class representative is free
+    # and the /4 /8 factors never need materializing.
+    z1z1 = sqr(az)                      # < 1.8p
     u2 = mul(qx, z1z1)
     s2 = mul(qy, mul(az, z1z1))
-    h = sub(u2, ax)
+    h = sub2(u2, ax)                    # < 2p
     hh = sqr(h)
-    i2 = add(hh, hh)
-    i4 = add(i2, i2)
-    j = mul(h, i4)
-    r1 = sub(s2, ay)
-    rr = add(r1, r1)
-    v = mul(ax, i4)
-    x3 = sub(sub(sqr(rr), j), add(v, v))
-    w = mul(ay, j)
-    y3 = sub(mul(rr, sub(v, x3)), add(w, w))
-    z3 = sub(sub(sqr(add(az, h)), z1z1), hh)
+    jj = mul(h, hh)                     # j/4
+    v = mul(ax, hh)                     # v/4
+    rr = sub2(s2, ay)                   # rr/2, < 2p
+    # x3' = rr'^2 - j' - 2v' : fold (3p - j') into the squaring reduce
+    a3 = sqr(rr, jnp.broadcast_to(fat3, rr.shape) - jj)  # < 4.8p
+    a3 = _condsub2p(a3, p2)
+    a3 = _condsub2p(a3, p2)             # < 2p
+    t1 = _condsub2p(_dbl_lazy(v), p2)   # 2v', < 2p
+    x3 = sub2(a3, t1)                   # < 2p
+    tt = sub2(v, x3)
+    u = mul(rr, tt)
+    w = mul(ay, jj)
+    y3 = sub2(u, w)                     # < 2p
+    z3 = mul(az, h)                     # z3/2
 
-    p_inf = _is_zero(az)
-    same = valid & _is_zero(h) & _is_zero(rr) & ~p_inf
+    p_inf = _is_zero_rep(az, p)
+    same = valid & _is_zero_rep(h, p) & _is_zero_rep(rr, p) & ~p_inf
 
     one = jnp.broadcast_to(one_ref[:], ax.shape)
     ox = _sel(p_inf, qx, x3)
@@ -104,11 +126,14 @@ def _madd_kernel(
 
 def _add_kernel(
     ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
-    tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, one_ref,
+    tmat_ref, tsqr_ref, m2_ref, m3_ref, p_ref, p2_ref, fat3_ref, one_ref,
     ox_ref, oy_ref, oz_ref, same_ref,
 ):
-    mul, sqr, add, sub = _ops(
-        tmat_ref[:], tsqr_ref[:], m2_ref[:], m3_ref[:], p_ref[:]
+    p = p_ref[:]
+    p2 = p2_ref[:]
+    fat3 = fat3_ref[:]
+    mul, sqr, sub2 = _lazy_ops(
+        tmat_ref[:], tsqr_ref[:], m2_ref[:], m3_ref[:], p, p2, fat3
     )
     x1, y1, z1 = ax_ref[:], ay_ref[:], az_ref[:]
     x2, y2, z2 = bx_ref[:], by_ref[:], bz_ref[:]
@@ -119,36 +144,34 @@ def _add_kernel(
     u2 = mul(x2, z1z1)
     s1 = mul(mul(y1, z2), z2z2)
     s2 = mul(mul(y2, z1), z1z1)
-    h = sub(u2, u1)
-    r = sub(s2, s1)
-
+    h = sub2(u2, u1)                    # < 2p
+    rr = sub2(s2, s1)                   # r (the /2-scaled slope numerator)
     hh = sqr(h)
-    i4 = add(add(hh, hh), add(hh, hh))
-    j = mul(h, i4)
-    rr = add(r, r)
-    v = mul(u1, i4)
-    x3 = sub(sub(sqr(rr), j), add(v, v))
-    sj = mul(s1, j)
-    y3 = sub(mul(rr, sub(v, x3)), add(sj, sj))
+    jj = mul(h, hh)
+    v = mul(u1, hh)
+    a3 = sqr(rr, jnp.broadcast_to(fat3, rr.shape) - jj)
+    a3 = _condsub2p(a3, p2)
+    a3 = _condsub2p(a3, p2)
+    t1 = _condsub2p(_dbl_lazy(v), p2)
+    x3 = sub2(a3, t1)
+    tt = sub2(v, x3)
+    u = mul(rr, tt)
+    w = mul(s1, jj)
+    y3 = sub2(u, w)
     zz = mul(z1, z2)
-    z3 = mul(add(zz, zz), h)  # 2*z1*z2*h
+    z3 = mul(zz, h)                     # z3/2 = z1*z2*h
 
-    h_zero = _is_zero(h)
-    r_zero = _is_zero(r)
-    p_inf = _is_zero(z1)
-    q_inf = _is_zero(z2)
+    h_zero = _is_zero_rep(h, p)
+    r_zero = _is_zero_rep(rr, p)
+    p_inf = _is_zero_rep(z1, p)
+    q_inf = _is_zero_rep(z2, p)
     same = h_zero & r_zero & ~p_inf & ~q_inf
-    opposite = h_zero & ~r_zero & ~p_inf & ~q_inf
+    # opposite (h == 0, r != 0) needs no select: z3 = z1*z2*h ≡ 0 marks
+    # infinity naturally (the Jacobian convention downstream checks mod p)
 
-    one = jnp.broadcast_to(one_ref[:], x1.shape)
-    zero = jnp.zeros_like(x1)
-    # opposite -> infinity (0, 1, 0)
-    ox = _sel(opposite, zero, x3)
-    oy = _sel(opposite, one, y3)
-    oz = _sel(opposite, zero, z3)
-    ox = _sel(p_inf, x2, ox)
-    oy = _sel(p_inf, y2, oy)
-    oz = _sel(p_inf, z2, oz)
+    ox = _sel(p_inf, x2, x3)
+    oy = _sel(p_inf, y2, y3)
+    oz = _sel(p_inf, z2, z3)
     ox_ref[:] = _sel(q_inf, x1, ox)
     oy_ref[:] = _sel(q_inf, y1, oy)
     oz_ref[:] = _sel(q_inf, z1, oz)
@@ -178,15 +201,17 @@ def _build_call(kernel, spec: FieldSpec, m: int, n_point_ins: int, n_flag_ins: i
         in_specs=[tile] * n_point_ins
         + [flag] * n_flag_ins
         + mont_in_specs(lambda i: (0, 0))
-        + [one_spec],
+        + [one_spec] * 3,  # p2, fat3, one -- all (L, 1) broadcast constants
         out_specs=(tile, tile, tile, flag),
     )
     one_np = _one_mont_np(spec)
+    p2c = p2_np(spec)
+    fat3c = fat_kp_np(spec, 3)
 
     # inner jit: lower the kernel once per shape regardless of call-site
     # count (see field/pallas_mul._mont_mul_call)
     def fn(*arrays):
-        return call(*arrays, *consts, one_np)
+        return call(*arrays, *consts, p2c, fat3c, one_np)
 
     return jax.jit(fn)
 

@@ -179,6 +179,92 @@ def _mont_sqr_vmem(a, t_sqr, m2, m3, p_limbs):
     return _mont_reduce_vmem(t, m2, m3, p_limbs)
 
 
+# ------------------------------------------------------- lazy-reduction ops
+# Round-5 carry-save redesign (NOTES_ROUND4 queue): inside the fused
+# Jacobian kernels values are tracked as 16-bit-limb arrays bounded by k*p
+# with k carried STATICALLY by the formula schedule (p = 0.189*2^256, so a
+# Montgomery multiply stays exact while k_a*k_b <= 5.29 and any value fits
+# the 16 limbs while k <= 5.29).  Multiplies skip the canonical conditional
+# subtract (output < 1.8p for inputs < 2p), adds/subs skip it when the
+# consumer tolerates the bound, and additive tails fold into the reducer's
+# high half for free (`offset`).  One `_condsub2p` pass re-tightens a value
+# below 2p where a following multiply needs it.
+
+
+def _mont_reduce_lazy(t, m2, m3, offset=None):
+    """Montgomery-reduce column sums WITHOUT the final conditional subtract:
+    output < (0.189*k_t + 1 + k_off)p in 16-bit limbs (callers keep the
+    total below 5.29p so it fits 2^256)."""
+    t_low, _ = _norm(t[:L])
+    m = _from_bytecols(_mul_shared(_bytes16(t_low), m2))
+    m, _ = _norm(m)
+    mp = _from_bytecols(_mul_shared(_bytes16(m), m3))
+    s = t + mp
+    _, c_low = _norm(s[:L])
+    zrows = jnp.zeros((L - 1,) + c_low.shape, U32)
+    high = s[L:] + jnp.concatenate([c_low[None], zrows])
+    if offset is not None:
+        high = high + offset
+    res, _ = _norm(high)
+    return res
+
+
+def _mont_mul_lazy(a, b, t_mat, m2, m3, offset=None):
+    return _mont_reduce_lazy(_conv(a, b, t_mat), m2, m3, offset)
+
+
+def _mont_sqr_lazy(a, t_sqr, m2, m3, offset=None):
+    rows = [a[i : i + 1] * a[i:] for i in range(L)]
+    prod = jnp.concatenate(rows)
+    return _mont_reduce_lazy(_conv_bytes(prod, t_sqr), m2, m3, offset)
+
+
+def _add_lazy(a, b):
+    """a + b with limb carries only (bound k_a + k_b)."""
+    s, _ = _norm(a + b)
+    return s
+
+
+def _dbl_lazy(a):
+    s, _ = _norm(a + a)
+    return s
+
+
+def _sub_fat(a, b, fat):
+    """a - b + (fat == k*p with every limb >= 2^16 - 1): bound k_a + k."""
+    s, _ = _norm(a + (jnp.broadcast_to(fat, a.shape) - b))
+    return s
+
+
+def _condsub2p(v, p2_limbs):
+    """One conditional subtract of 2p: value < 4p -> < 2p."""
+    comp = jnp.broadcast_to(p2_limbs, v.shape) ^ _MASK
+    zrows = jnp.zeros((L - 1,) + v.shape[1:], U32)
+    one0 = jnp.concatenate([jnp.ones((1,) + v.shape[1:], U32), zrows])
+    sub, carry = _norm(v + comp + one0)
+    return jnp.where((carry == 1)[None, :], sub, v)
+
+
+def fat_kp_np(spec: FieldSpec, k: int):
+    """k*p as (16, 1) u32 limbs with limbs 0..14 >= 2^16 - 1 (borrow-free
+    elementwise subtraction of any canonical-limbed value).  k*p must fit
+    2^256 (k <= 5 for BN254 Fq)."""
+    v = k * spec.p
+    assert v < 1 << 256
+    f = [(v >> (16 * j)) & 0xFFFF for j in range(L)]
+    for i in range(L - 1):
+        f[i] += 1 << 16
+        f[i + 1] -= 1
+        assert f[i + 1] >= 0
+    return np.array([[x] for x in f], np.uint32)
+
+
+def p2_np(spec: FieldSpec):
+    """2p as plain (16, 1) u32 limbs (the _condsub2p constant)."""
+    v = 2 * spec.p
+    return np.array([[(v >> (16 * j)) & 0xFFFF] for j in range(L)], np.uint32)
+
+
 def _mod_add_vmem(a, b, p_limbs):
     """(a + b) mod p for canonical (16, T) limb arrays, in VMEM."""
     s, _ = _norm(a + b)  # < 2p, fits 16 limbs (p is 254-bit)
