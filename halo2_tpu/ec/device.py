@@ -763,8 +763,13 @@ def _hybrid_device_frac(n: int) -> float:
     v = os.environ.get("HALO2_TPU_MSM_DEVICE_FRAC")
     if v:
         return min(1.0, max(0.0, float(v)))
-    # measured round 5 on v5e + 2-core IFMA host: device ~2.9 us/pt,
-    # host ~2.1 us/pt at 2^16 -> balance point ~0.42
+    # Round-5 sweep on v5e + 2-core IFMA host: the device dispatch has a
+    # ~120-150 ms floor at any slice size (q accumulation rounds + tunnel
+    # RTT + the size-independent Abel combine), so below ~2^17 points the
+    # host IFMA Pippenger alone is fastest; above that the measured balance
+    # point sits near 0.42 (NOTES_ROUND5).
+    if n < (1 << 17):
+        return 0.0
     return 0.42
 
 

@@ -23,6 +23,11 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the persistent compilation cache segfaults in jaxlib's executable
+# serialization (zstd) on the very large unfused sharded-prover programs
+# (observed round 5 on the k=9 mesh MSM); tests don't need cross-process
+# caching, so turn it off
+jax.config.update("jax_enable_compilation_cache", False)
 # XLA_FLAGS is consumed lazily when the CPU client is created, which has not
 # happened yet at conftest time, so the env mutation above still takes effect.
 

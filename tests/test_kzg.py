@@ -59,3 +59,40 @@ def test_full_prover():
     )
     proof, ok, times = full_prover(circuit, k, public_input, rng=random.Random(7))
     assert ok
+
+
+def test_keygen_split_matches_fused():
+    """keygen_vk + keygen_pk == fused keygen (same commitments/digest), and
+    proofs made under either pk verify (halo2's two-entry-point API,
+    reference src/circuits/utils.rs:31-36)."""
+    import random
+
+    from halo2_tpu.circuits.hash_v1 import Hash1Circuit
+    from halo2_tpu.field import Fr
+    from halo2_tpu.kzg import (
+        ParamsKZG,
+        create_proof,
+        keygen,
+        keygen_pk,
+        keygen_vk,
+        verify_proof,
+    )
+    from halo2_tpu.plonkish import Value
+
+    k = 4
+    params = ParamsKZG.setup_cached(k)
+    circuit = Hash1Circuit(Fr, Value.known(Fr.from_u64(2)))
+    vk = keygen_vk(params, circuit, k, Fr)
+    pk = keygen_pk(params, vk, circuit, k, Fr)
+    pk_fused = keygen(params, circuit, k, Fr)
+    assert vk.digest == pk_fused.vk.digest
+    assert [p for p in vk.fixed_commitments] == [
+        p for p in pk_fused.vk.fixed_commitments
+    ]
+    public = [Fr.from_u64(4)]
+    proof = create_proof(params, pk, circuit, [list(public)], rng=random.Random(3))
+    proof2 = create_proof(
+        params, pk_fused, circuit, [list(public)], rng=random.Random(3)
+    )
+    assert proof == proof2
+    assert verify_proof(params.verifier_params(), vk, proof, [list(public)])

@@ -195,50 +195,3 @@ def test_sharded_create_proof_lookup_circuit_proof_bytes():
     p2 = create_proof(params, pk, circuit, [[]], rng=random.Random(13), mesh=mesh)
     assert p1 == p2
     assert verify_proof(params.verifier_params(), pk.vk, p2, [[]])
-
-
-@pytest.mark.slow
-def test_sharded_create_proof_flagship_proof_bytes():
-    """Sharded proof bytes == single-chip on the FLAGSHIP (depth 2, k=9).
-
-    Exercises the full surface at once under the mesh: Poseidon gates,
-    LtChip u8 lookup, multi-chunk permutation and the lookup-bearing
-    quotient (round-4 VERDICT item 5).  Reference:
-    src/circuits/merkle_sum_tree.rs:346-358."""
-    import random
-
-    from halo2_tpu.circuits.merkle_sum_tree import (
-        MerkleSumTreeCircuit,
-        Node,
-        compute_merkle_sum_root,
-    )
-    from halo2_tpu.field import Fr
-    from halo2_tpu.kzg import ParamsKZG, create_proof, keygen, verify_proof
-
-    k, depth = 9, 2
-    leaf = Node(Fr.from_u64(10), Fr.from_u64(100))
-    elements = [
-        Node(Fr.from_u64(3 * i + 1), Fr.from_u64(10 * i + 10)) for i in range(depth)
-    ]
-    indices = [Fr.from_u64(i % 2) for i in range(depth)]
-    root = compute_merkle_sum_root(Fr, leaf, elements, indices)
-    assets = root.balance + Fr.from_u64(1)
-    circuit = MerkleSumTreeCircuit(
-        Fr,
-        leaf.hash,
-        leaf.balance,
-        [e.hash for e in elements],
-        [e.balance for e in elements],
-        indices,
-        assets,
-    )
-    public = [leaf.hash, leaf.balance, root.hash, assets]
-    params = ParamsKZG.setup_cached(k)
-    pk = keygen(params, circuit, k, Fr)
-    mesh = make_mesh(8)
-    p1 = create_proof(params, pk, circuit, [list(public)], rng=random.Random(17))
-    p2 = create_proof(
-        params, pk, circuit, [list(public)], rng=random.Random(17), mesh=mesh
-    )
-    assert p1 == p2
-    assert verify_proof(params.verifier_params(), pk.vk, p2, [list(public)])
