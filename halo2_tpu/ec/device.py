@@ -773,6 +773,31 @@ def _hybrid_device_frac(n: int) -> float:
     return 0.42
 
 
+# 52-bit lane forms of host point mirrors, keyed by (id, slice) — the SRS
+# arrays are long-lived and reused across every MSM of a prove/bench, so the
+# Montgomery-52 conversion pass (a full O(n) sweep) is paid once.  Entries
+# keep a reference to the source arrays so ids cannot be recycled under us.
+_PTS52_CACHE: dict = {}
+
+
+def _host_pts52(host_px, host_py, nd):
+    from .. import native
+
+    key = (id(host_px), id(host_py), int(nd))
+    ent = _PTS52_CACHE.get(key)
+    if ent is not None and ent[0] is host_px and ent[1] is host_py:
+        return ent[2], ent[3]
+    px = native.pack_device(np.asarray(host_px[:, nd:]))
+    py = native.pack_device(np.asarray(host_py[:, nd:]))
+    r = native.points_to52(px, py)
+    if r is None:
+        return None
+    if len(_PTS52_CACHE) > 8:
+        _PTS52_CACHE.clear()
+    _PTS52_CACHE[key] = (host_px, host_py, r[0], r[1])
+    return r
+
+
 def msm_hybrid(px, py, scalars_canonical, host_px=None, host_py=None,
                host_scalars=None):
     """Heterogeneous MSM: the TPU Pippenger runs a leading point slice while
@@ -799,11 +824,17 @@ def msm_hybrid(px, py, scalars_canonical, host_px=None, host_py=None,
     nd = int(n * _hybrid_device_frac(n))
     nd = max(0, min(n, nd))
     if nd == 0:
-        x, y = native.msm_g1_mont(
-            native.pack_device(np.asarray(host_px)),
-            native.pack_device(np.asarray(host_py)),
-            native.pack_device(np.asarray(host_scalars)),
-        )
+        pts52 = _host_pts52(host_px, host_py, 0)
+        if pts52 is not None:
+            x, y = native.msm_g1_mont52(
+                pts52[0], pts52[1], native.pack_device(np.asarray(host_scalars))
+            )
+        else:
+            x, y = native.msm_g1_mont(
+                native.pack_device(np.asarray(host_px)),
+                native.pack_device(np.asarray(host_py)),
+                native.pack_device(np.asarray(host_scalars)),
+            )
         return _encode_host_jac((x, y, 1) if (x or y) else None)
 
     # 1) dispatch the device slice (async; jax returns before execution)
@@ -817,11 +848,18 @@ def msm_hybrid(px, py, scalars_canonical, host_px=None, host_py=None,
         )
         s = e
     # 2) host IFMA Pippenger on the tail while the device runs
-    hx, hy = native.msm_g1_mont(
-        native.pack_device(np.asarray(host_px[:, nd:])),
-        native.pack_device(np.asarray(host_py[:, nd:])),
-        native.pack_device(np.asarray(host_scalars[:, nd:])),
-    )
+    pts52 = _host_pts52(host_px, host_py, nd)
+    if pts52 is not None:
+        hx, hy = native.msm_g1_mont52(
+            pts52[0], pts52[1],
+            native.pack_device(np.asarray(host_scalars[:, nd:])),
+        )
+    else:
+        hx, hy = native.msm_g1_mont(
+            native.pack_device(np.asarray(host_px[:, nd:])),
+            native.pack_device(np.asarray(host_py[:, nd:])),
+            native.pack_device(np.asarray(host_scalars[:, nd:])),
+        )
     host_pt = None if (hx == 0 and hy == 0) else (hx, hy, 1)
     # 3) fetch device window sums, Horner, combine
     acc = host_pt

@@ -91,6 +91,10 @@ def _load():
         lib.h2t_msm_g1_mont_batch.argtypes = [
             u64p, u64p, u64p, ctypes.c_size_t, ctypes.c_size_t, u64p,
         ]
+        lib.h2t_points_to52.argtypes = [u64p, u64p, ctypes.c_size_t, u64p, u64p]
+        lib.h2t_points_to52.restype = ctypes.c_int
+        lib.h2t_msm_g1_mont52.argtypes = [u64p, u64p, u64p, ctypes.c_size_t, u64p]
+        lib.h2t_msm_g1_mont52.restype = ctypes.c_int
         lib.h2t_ntt_fr.argtypes = [u64p, ctypes.c_size_t, ctypes.c_int]
         lib.h2t_ntt_fr_batch.argtypes = [
             u64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
@@ -147,14 +151,14 @@ def _ptr(a: np.ndarray):
 # ----------------------------------------------------------- packing helpers
 def pack_device(limbs16) -> np.ndarray:
     """(16, n) uint32 16-bit limb array (device convention, any form) ->
-    (n, 4) uint64 element rows, same 256-bit integers."""
-    a = np.asarray(limbs16).astype(np.uint64)  # (16, n)
+    (n, 4) uint64 element rows, same 256-bit integers.
+
+    Little-endian limb order means the packing is just a uint16 transpose
+    reinterpreted as u64 words (~11x the shift/or loop it replaces)."""
+    a = np.asarray(limbs16)
     n = a.shape[1] if a.ndim > 1 else 1
-    a = a.reshape(16, n)
-    words = np.zeros((4, n), np.uint64)
-    for j in range(16):
-        words[j // 4] |= a[j] << np.uint64(16 * (j % 4))
-    return np.ascontiguousarray(words.T)  # (n, 4)
+    a = a.reshape(16, n).astype(np.uint16)  # values are 16-bit by convention
+    return np.ascontiguousarray(a.T).view(np.uint64)  # (n, 4)
 
 
 def unpack_device(words: np.ndarray) -> np.ndarray:
@@ -233,6 +237,35 @@ def msm_g1_mont(px_m: np.ndarray, py_m: np.ndarray, scalars: np.ndarray):
     py_m = np.ascontiguousarray(py_m, dtype=np.uint64)
     scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
     lib.h2t_msm_g1_mont(_ptr(px_m), _ptr(py_m), _ptr(scalars), n, _ptr(out))
+    xy = unpack_ints(out)
+    return xy[0], xy[1]
+
+
+def points_to52(px_m: np.ndarray, py_m: np.ndarray):
+    """Precompute the IFMA Pippenger's Montgomery-52 lane form of a fixed
+    point set (e.g. the SRS, reused across every commit of a prove).
+    px_m/py_m: (n, 4) u64 Montgomery affine ((0,0) = infinity).
+    Returns (px52, py52) as (n, 5) u64, or None without IFMA support."""
+    lib = _load()
+    px_m = np.ascontiguousarray(px_m, dtype=np.uint64)
+    py_m = np.ascontiguousarray(py_m, dtype=np.uint64)
+    n = px_m.shape[0]
+    px52 = np.empty((n, 5), np.uint64)
+    py52 = np.empty((n, 5), np.uint64)
+    if lib.h2t_points_to52(_ptr(px_m), _ptr(py_m), n, _ptr(px52), _ptr(py52)):
+        return None
+    return px52, py52
+
+
+def msm_g1_mont52(px52: np.ndarray, py52: np.ndarray, scalars: np.ndarray):
+    """MSM over points precomputed by points_to52; scalars (n, 4) canonical.
+    Returns host ints (x, y), or None without IFMA support."""
+    lib = _load()
+    n = px52.shape[0]
+    out = np.zeros(8, np.uint64)
+    scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
+    if lib.h2t_msm_g1_mont52(_ptr(px52), _ptr(py52), _ptr(scalars), n, _ptr(out)):
+        return None
     xy = unpack_ints(out)
     return xy[0], xy[1]
 

@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstddef>
+#include <algorithm>
 #include <map>
 #include <mutex>
 #include <thread>
@@ -1110,9 +1111,10 @@ static void fq12_pow_words(const Fq12 &a, const u64 *e, size_t nw, Fq12 &o) {
 namespace {
 
 struct Ctx52 {
-  u64 p[5], p2[5];  // p, 2p in radix-52
-  u64 n0;           // -p^{-1} mod 2^52
-  u64 r2[5];        // (2^260)^2 mod p -> to-Montgomery multiplier
+  u64 p[5], p2[5];   // p, 2p in radix-52
+  u64 p4[5], p8[5];  // 4p, 8p (lazy-reduction offsets; fit: 8p < 2^260)
+  u64 n0;            // -p^{-1} mod 2^52
+  u64 r2[5];         // (2^260)^2 mod p -> to-Montgomery multiplier
   u64 one_plain[5];  // literal 1 (from-Montgomery multiplier)
 };
 
@@ -1149,6 +1151,20 @@ static void make_ctx52(const FieldCtx &F, Ctx52 &C) {
     p2_64.l[i] = v;
   }
   to52(p2_64, C.p2);
+  // 4p / 8p exceed 256 bits for BN254 Fq -> double in the 52-bit domain
+  const u64 M52 = ((u64)1 << 52) - 1;
+  u64 carry52 = 0;
+  for (int i = 0; i < 5; i++) {
+    u64 v = (C.p2[i] << 1) | carry52;
+    carry52 = C.p2[i] >> 51;
+    C.p4[i] = v & M52;
+  }
+  carry52 = 0;
+  for (int i = 0; i < 5; i++) {
+    u64 v = (C.p4[i] << 1) | carry52;
+    carry52 = C.p4[i] >> 51;
+    C.p8[i] = v & M52;
+  }
   C.n0 = ((u64)0 - inv52(C.p[0])) & (((u64)1 << 52) - 1);
   // r2 = 2^520 mod p via repeated doubling (one-time)
   Fp4 v = {{1, 0, 0, 0}};
@@ -1346,6 +1362,36 @@ static inline void v52_sub(const Ctx52 &C, const V52 &a, const V52 &b, V52 &o) {
     o.l[i] = _mm512_and_si512(s, mask);
   }
   v52_condsub(C.p2, o);
+}
+
+// ---- lazy-reduction variants (no trailing conditional subtract).  The
+// radix-52 representation holds values < 2^260 ~ 84.7p, so Jacobian-formula
+// intermediates may drift well past 2p between multiplies; the Montgomery
+// multiply itself compresses k*p inputs back to (k^2*0.0118 + 1)p.  Interval
+// analysis for the madd lives at j52_madd_n.
+
+// o = a + b, no reduction (caller guarantees a + b < 2^260)
+static inline void v52_add_lazy(const V52 &a, const V52 &b, V52 &o) {
+  const __m512i mask = MASK52;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(a.l[i], b.l[i]), carry);
+    carry = _mm512_srli_epi64(s, 52);
+    o.l[i] = _mm512_and_si512(s, mask);
+  }
+}
+
+// o = a + k - b where k (a precomputed K*p) bounds b from above
+static inline void v52_sub_lazy(const u64 k[5], const V52 &a, const V52 &b,
+                                V52 &o) {
+  const __m512i mask = MASK52;
+  __m512i carry = _mm512_setzero_si512();
+  for (int i = 0; i < 5; i++) {
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(a.l[i], bcast(k[i])), carry);
+    s = _mm512_sub_epi64(s, b.l[i]);
+    carry = _mm512_srai_epi64(s, 52);
+    o.l[i] = _mm512_and_si512(s, mask);
+  }
 }
 
 static inline void v52_neg(const Ctx52 &C, const V52 &a, V52 &o) {
@@ -1595,8 +1641,23 @@ static inline void v52_select(__mmask8 m, const V52 &yes, const V52 &no, V52 &o)
 // mont52 repr (x * 2^260 mod p, in [0,2p)) -> 4x64 Montgomery (x * 2^256)
 static void lane_to_mont64(const FieldCtx &F, const u64 v52v[5], Fp4 &o) {
   Fp4 v;
-  from52(v52v, v);
-  // v may be in [0, 2p): reduce exactly first
+  // v may be in [0, 8p) under the lazy-reduction invariant, and 8p > 2^256
+  // overflows the 4x64 fold (from52 drops bits 256+).  Reduce to < p in the
+  // 52-bit domain first (conditional 4p, 2p, p, p), THEN fold.
+  u64 w[5];
+  memcpy(w, v52v, 40);
+  const Ctx52 &C52 = (&F == &FQ) ? fq52() : fr52();
+  const u64 M = ((u64)1 << 52) - 1;
+  for (const u64 *k : {C52.p4, C52.p2, C52.p, C52.p}) {
+    u64 s[5], borrow = 0;
+    for (int i = 0; i < 5; i++) {
+      u64 d = w[i] - k[i] - borrow;
+      borrow = (d >> 63) & 1;  // limbs < 2^52: top bit set iff wrapped
+      s[i] = d & M;
+    }
+    if (!borrow) memcpy(w, s, 40);
+  }
+  from52(w, v);
   u64 s[4], borrow = 0;
   for (int i = 0; i < 4; i++) {
     u128 cur = (u128)v.l[i] - F.p.l[i] - borrow;
@@ -1691,161 +1752,87 @@ static inline void j52_get_lane(const J52 &p, int lane, G1 &g) {
   }
 }
 
-// complete mixed add: p += (px, py) on lanes where `valid`; px/py never
-// infinity.  Exceptional equal-point lanes fall back to the scalar dbl.
-static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
-                     __mmask8 valid) {
-  V52 z1z1, u2, s2, h, hh, i4, j, r1, rr, v, t0, t1, x3, y3, z3;
-  V52 in2[2], out2[2];
-  v52_mul(C, p.Z, p.Z, z1z1);
-  in2[0] = px;
-  in2[1] = p.Z;
-  V52 b2[2] = {z1z1, z1z1};
-  v52_mul_n<2>(C, in2, b2, out2);  // u2 = px*z1z1 | t0 = Z*z1z1
-  u2 = out2[0];
-  t0 = out2[1];
-  v52_sub(C, u2, p.X, h);
-  in2[0] = py;
-  in2[1] = h;
-  b2[0] = t0;
-  b2[1] = h;
-  v52_mul_n<2>(C, in2, b2, out2);  // s2 = py*(Z*z1z1) | hh = h^2
-  s2 = out2[0];
-  hh = out2[1];
-  v52_add(C, hh, hh, i4);
-  v52_add(C, i4, i4, i4);
-  in2[0] = h;
-  in2[1] = p.X;
-  b2[0] = i4;
-  b2[1] = i4;
-  v52_mul_n<2>(C, in2, b2, out2);  // j = h*i4 | v = X*i4
-  j = out2[0];
-  v = out2[1];
-  v52_sub(C, s2, p.Y, r1);
-  v52_add(C, r1, r1, rr);
-  in2[0] = rr;
-  in2[1] = p.Y;
-  b2[0] = rr;
-  b2[1] = j;
-  v52_mul_n<2>(C, in2, b2, out2);  // x3 = rr^2 | t1 = Y*j
-  x3 = out2[0];
-  t1 = out2[1];
-  v52_sub(C, x3, j, x3);
-  v52_add(C, v, v, t0);
-  v52_sub(C, x3, t0, x3);
-  v52_sub(C, v, x3, t0);
-  v52_add(C, p.Z, h, z3);
-  in2[0] = rr;
-  in2[1] = z3;
-  b2[0] = t0;
-  b2[1] = z3;
-  v52_mul_n<2>(C, in2, b2, out2);  // rr*(v-x3) | (Z+h)^2
-  t0 = out2[0];
-  z3 = out2[1];
-  v52_add(C, t1, t1, t1);
-  v52_sub(C, t0, t1, y3);
-  v52_sub(C, z3, z1z1, z3);
-  v52_sub(C, z3, hh, z3);
-
-  __mmask8 p_inf = v52_is_zero(C, p.Z);
-  __mmask8 h_zero = v52_is_zero(C, h);
-  __mmask8 r_zero = v52_is_zero(C, rr);
-  __mmask8 same = valid & h_zero & r_zero & ~p_inf;
-
-  J52 out;
-  out.X = x3;
-  out.Y = y3;
-  out.Z = z3;
-  // p_inf lanes: (px, py, 1)
-  V52 onev;
-  v52_bcast_elem(one52_fq(), onev);
-  v52_select(p_inf, px, out.X, out.X);
-  v52_select(p_inf, py, out.Y, out.Y);
-  v52_select(p_inf, onev, out.Z, out.Z);
-  // keep original on invalid lanes
-  v52_select(valid, out.X, p.X, p.X);
-  v52_select(valid, out.Y, p.Y, p.Y);
-  v52_select(valid, out.Z, p.Z, p.Z);
-
-  if (same) {  // rare: acc lane == (px, py) -> double the affine point
-    for (int lane = 0; lane < 8; lane++) {
-      if (!((same >> lane) & 1)) continue;
-      G1 g;
-      alignas(64) u64 tmp[8];
-      u64 t5[5];
-      Fp4 ax, ay;
-      for (int i = 0; i < 5; i++) {
-        _mm512_store_si512((void *)tmp, px.l[i]);
-        t5[i] = tmp[lane];
-      }
-      lane_to_mont64(FQ, t5, ax);
-      for (int i = 0; i < 5; i++) {
-        _mm512_store_si512((void *)tmp, py.l[i]);
-        t5[i] = tmp[lane];
-      }
-      lane_to_mont64(FQ, t5, ay);
-      g.X = ax;
-      g.Y = ay;
-      g.Z = FQ.one;
-      g.inf = false;
-      g1_dbl(g, g);
-      j52_set_lane(p, lane, g);
+// N independent mixed adds with every multiply paired ACROSS the streams
+// (within one madd the multiplies sit on one dependency chain; across
+// points they are independent, which is what actually fills the IFMA
+// ports).  Same semantics as NS j52_madd calls on disjoint buckets.
+// NS=2 measured ~1.5x one-at-a-time; NS=3 keeps v52_mul_n<3> inside the
+// 32-zmm register file (t[3][6] + m[3] + 8 constants = 29 live regs).
+//
+// LAZY REDUCTION: bucket coordinates obey X, Y, Z < 8p (not < 2p); affine
+// px/py are < p (mont64_to_lane output).  Adds/subs skip the conditional
+// subtract entirely; the Montgomery multiply compresses (ka*p)(kb*p) inputs
+// to (ka*kb*c + 1)p with c = p/2^260 = 0.0119 for BN254 Fq.  Interval walk
+// (worst cases, c rounded up to 0.012):
+//   z1z1=Z^2<1.8p  u2=px*z1z1<1.1p  t0=Z*z1z1<1.2p  h=u2+8p-X<9.1p
+//   s2=py*t0<1.1p  hh=h^2<2.0p      i4=4hh<8.0p     j=h*i4<1.9p
+//   v=X*i4<1.8p    r1=s2+8p-Y<9.1p  rr=2r1<18.2p    x3a=rr^2<5.0p
+//   t1=Y*j<1.2p    x3b=x3a+2p-j<7p  x3c=x3b+4p-2v<11p --condsub8--> <8p
+//   t0''=v+8p-x3<9.8p  y3a=rr*t0''<3.2p  y3=y3a+4p-2t1<7.2p
+//   zh=Z*h<1.9p    z3=2zh<3.8p
+// Max intermediate 18.2p = 0.22*2^260: limbs never overflow.  One condsub
+// per madd (was 12) — the round-5 device-kernel carry-save idea, host-side.
+// Exceptional lanes are detected on mul OUTPUTS (< 2p, so the {0, p}
+// representative test stays valid): p_inf via z1z1, h==0 via hh, rr==0 via
+// rr^2 reduced below 2p by two conditional subtracts.
+template <int NS>
+static void j52_madd_n(const Ctx52 &C, J52 *const *pp, const V52 *px,
+                       const V52 *py, const __mmask8 *valid) {
+  V52 z1z1[NS], u2[NS], s2[NS], h[NS], hh[NS], i4[NS], j[NS], r1[NS], rr[NS];
+  V52 v[NS], t0[NS], t1[NS], x3[NS], y3[NS], z3[NS], a2[NS], b2[NS];
+  __mmask8 p_inf_n[NS], h_zero_n[NS], r_zero_n[NS];
+#define MULN(dst, sa, sb)              \
+  {                                    \
+    for (int s = 0; s < NS; s++) {     \
+      a2[s] = (sa);                    \
+      b2[s] = (sb);                    \
+    }                                  \
+    v52_mul_n<NS>(C, a2, b2, dst);     \
+  }
+  MULN(z1z1, pp[s]->Z, pp[s]->Z)
+  MULN(u2, px[s], z1z1[s])
+  MULN(t0, pp[s]->Z, z1z1[s])
+  MULN(s2, py[s], t0[s])
+  for (int s = 0; s < NS; s++) {
+    p_inf_n[s] = v52_is_zero(C, z1z1[s]);
+    v52_sub_lazy(C.p8, u2[s], pp[s]->X, h[s]);
+  }
+  MULN(hh, h[s], h[s])
+  for (int s = 0; s < NS; s++) {
+    h_zero_n[s] = v52_is_zero(C, hh[s]);
+    v52_add_lazy(hh[s], hh[s], i4[s]);
+    v52_add_lazy(i4[s], i4[s], i4[s]);
+  }
+  MULN(j, h[s], i4[s])
+  MULN(v, pp[s]->X, i4[s])
+  for (int s = 0; s < NS; s++) {
+    v52_sub_lazy(C.p8, s2[s], pp[s]->Y, r1[s]);
+    v52_add_lazy(r1[s], r1[s], rr[s]);
+  }
+  MULN(x3, rr[s], rr[s])
+  MULN(t1, pp[s]->Y, j[s])
+  for (int s = 0; s < NS; s++) {
+    {  // rr == 0 iff rr^2 == 0 (no zero divisors); reduce < 2p then test
+      V52 rq = x3[s];
+      v52_condsub(C.p4, rq);
+      v52_condsub(C.p2, rq);
+      r_zero_n[s] = v52_is_zero(C, rq);
     }
+    v52_sub_lazy(C.p2, x3[s], j[s], x3[s]);
+    v52_add_lazy(v[s], v[s], t0[s]);
+    v52_sub_lazy(C.p4, x3[s], t0[s], x3[s]);
+    v52_condsub(C.p8, x3[s]);
+    v52_sub_lazy(C.p8, v[s], x3[s], t0[s]);
   }
-}
+  MULN(y3, rr[s], t0[s])
+  MULN(z3, pp[s]->Z, h[s])
+  for (int s = 0; s < NS; s++) {
+    v52_add_lazy(z3[s], z3[s], z3[s]);  // z3 = 2*Z*h
+    v52_add_lazy(t1[s], t1[s], t1[s]);
+    v52_sub_lazy(C.p4, y3[s], t1[s], y3[s]);
 
-// Two independent mixed adds with every multiply paired ACROSS the two
-// streams (within one madd the pairs sit on one dependency chain; across
-// two points they are independent, which is what actually fills the IFMA
-// ports).  Same semantics as two j52_madd calls on disjoint buckets.
-static void j52_madd2(const Ctx52 &C, J52 *pp[2], const V52 px[2],
-                      const V52 py[2], const __mmask8 valid[2]) {
-  V52 z1z1[2], u2[2], s2[2], h[2], hh[2], i4[2], j[2], r1[2], rr[2], v[2];
-  V52 t0[2], t1[2], x3[2], y3[2], z3[2], a2[2], b2[2];
-#define MUL2(dst, sa0, sb0, sa1, sb1)            \
-  {                                              \
-    a2[0] = (sa0);                               \
-    b2[0] = (sb0);                               \
-    a2[1] = (sa1);                               \
-    b2[1] = (sb1);                               \
-    v52_mul_n<2>(C, a2, b2, dst);                \
-  }
-  MUL2(z1z1, pp[0]->Z, pp[0]->Z, pp[1]->Z, pp[1]->Z)
-  MUL2(u2, px[0], z1z1[0], px[1], z1z1[1])
-  MUL2(t0, pp[0]->Z, z1z1[0], pp[1]->Z, z1z1[1])
-  MUL2(s2, py[0], t0[0], py[1], t0[1])
-  for (int s = 0; s < 2; s++) v52_sub(C, u2[s], pp[s]->X, h[s]);
-  MUL2(hh, h[0], h[0], h[1], h[1])
-  for (int s = 0; s < 2; s++) {
-    v52_add(C, hh[s], hh[s], i4[s]);
-    v52_add(C, i4[s], i4[s], i4[s]);
-  }
-  MUL2(j, h[0], i4[0], h[1], i4[1])
-  MUL2(v, pp[0]->X, i4[0], pp[1]->X, i4[1])
-  for (int s = 0; s < 2; s++) {
-    v52_sub(C, s2[s], pp[s]->Y, r1[s]);
-    v52_add(C, r1[s], r1[s], rr[s]);
-  }
-  MUL2(x3, rr[0], rr[0], rr[1], rr[1])
-  MUL2(t1, pp[0]->Y, j[0], pp[1]->Y, j[1])
-  for (int s = 0; s < 2; s++) {
-    v52_sub(C, x3[s], j[s], x3[s]);
-    v52_add(C, v[s], v[s], t0[s]);
-    v52_sub(C, x3[s], t0[s], x3[s]);
-    v52_sub(C, v[s], x3[s], t0[s]);
-    v52_add(C, pp[s]->Z, h[s], z3[s]);
-  }
-  MUL2(y3, rr[0], t0[0], rr[1], t0[1])
-  MUL2(z3, z3[0], z3[0], z3[1], z3[1])
-  for (int s = 0; s < 2; s++) {
-    v52_add(C, t1[s], t1[s], t1[s]);
-    v52_sub(C, y3[s], t1[s], y3[s]);
-    v52_sub(C, z3[s], z1z1[s], z3[s]);
-    v52_sub(C, z3[s], hh[s], z3[s]);
-
-    __mmask8 p_inf = v52_is_zero(C, pp[s]->Z);
-    __mmask8 same =
-        valid[s] & v52_is_zero(C, h[s]) & v52_is_zero(C, rr[s]) & ~p_inf;
+    __mmask8 p_inf = p_inf_n[s];
+    __mmask8 same = valid[s] & h_zero_n[s] & r_zero_n[s] & ~p_inf;
     V52 onev;
     v52_bcast_elem(one52_fq(), onev);
     J52 out;
@@ -1884,7 +1871,17 @@ static void j52_madd2(const Ctx52 &C, J52 *pp[2], const V52 px[2],
       }
     }
   }
-#undef MUL2
+#undef MULN
+}
+
+// complete mixed add: p += (px, py) on lanes where `valid`; px/py never
+// infinity.  Single-stream convenience wrapper over j52_madd_n.
+static void j52_madd(const Ctx52 &C, J52 &p, const V52 &px, const V52 &py,
+                     __mmask8 valid) {
+  J52 *pp[1] = {&p};
+  V52 pxa[1] = {px}, pya[1] = {py};
+  __mmask8 va[1] = {valid};
+  j52_madd_n<1>(C, pp, pxa, pya, va);
 }
 
 // complete Jacobian add: p += q (both may be infinity); equal-point lanes
@@ -1959,8 +1956,10 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
   v52_add(C, t1, t1, t1);
   v52_sub(C, t0, t1, y3);
 
-  __mmask8 p_inf = v52_is_zero(C, p.Z);
-  __mmask8 q_inf = v52_is_zero(C, q.Z);
+  // infinity tests on the SQUARES (mul outputs, < 2p) — the raw Z inputs may
+  // sit anywhere < 8p under the lazy-reduction bucket invariant
+  __mmask8 p_inf = v52_is_zero(C, z1z1);
+  __mmask8 q_inf = v52_is_zero(C, z2z2);
   __mmask8 h_zero = v52_is_zero(C, h);
   __mmask8 r_zero = v52_is_zero(C, rr);
   __mmask8 same = h_zero & r_zero & ~p_inf & ~q_inf;
@@ -1997,6 +1996,7 @@ static const int MSM_PLANES = 15;  // X0..4, Y5..9, Z10..14
 // with per-lane byte offsets + shifts (22 windows, 3 groups; the top window
 // masks to the 2 bits a 254-bit scalar actually has) — fewer window rounds
 // for big n at the cost of 2^12-entry buckets.
+template <int PEND>
 static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
                            const u64 *scalars, size_t n, int c, int group,
                            G1 wins[8]) {
@@ -2044,7 +2044,7 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
     __mmask8 valid;
     const u64 *px, *py;
   };
-  Pend pend[2];
+  Pend pend[PEND];
   int npend = 0;
   auto flush_one = [&](const Pend &P) {
     J52 acc;
@@ -2096,33 +2096,39 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
     pend[npend].px = pxe;
     pend[npend].py = pye;
     npend++;
-    if (npend < 2) continue;
+    if (npend < PEND) continue;
     npend = 0;
-    // same-bucket conflict between the two pending points -> serialize
-    __mmask8 conf = pend[0].valid & pend[1].valid &
-                    _mm512_cmpeq_epu64_mask(pend[0].idx15, pend[1].idx15);
+    // same-bucket conflict among the pending points -> serialize (rare)
+    bool conf = false;
+    for (int a = 0; a < PEND && !conf; a++)
+      for (int b = a + 1; b < PEND; b++)
+        if (pend[a].valid & pend[b].valid &
+            _mm512_cmpeq_epu64_mask(pend[a].idx15, pend[b].idx15)) {
+          conf = true;
+          break;
+        }
     if (conf) {
-      flush_one(pend[0]);
-      flush_one(pend[1]);
+      for (int a = 0; a < PEND; a++) flush_one(pend[a]);
       continue;
     }
-    J52 accA, accB;
-    gather_acc(pend[0].idx15, accA);
-    gather_acc(pend[1].idx15, accB);
-    V52 px2[2], py2[2];
-    for (int i = 0; i < 5; i++) {
-      px2[0].l[i] = bcast(pend[0].px[i]);
-      py2[0].l[i] = bcast(pend[0].py[i]);
-      px2[1].l[i] = bcast(pend[1].px[i]);
-      py2[1].l[i] = bcast(pend[1].py[i]);
+    J52 acc[PEND];
+    V52 pxN[PEND], pyN[PEND];
+    J52 *pp[PEND];
+    __mmask8 vv[PEND];
+    for (int a = 0; a < PEND; a++) {
+      gather_acc(pend[a].idx15, acc[a]);
+      for (int i = 0; i < 5; i++) {
+        pxN[a].l[i] = bcast(pend[a].px[i]);
+        pyN[a].l[i] = bcast(pend[a].py[i]);
+      }
+      pp[a] = &acc[a];
+      vv[a] = pend[a].valid;
     }
-    J52 *pp[2] = {&accA, &accB};
-    __mmask8 vv[2] = {pend[0].valid, pend[1].valid};
-    j52_madd2(C, pp, px2, py2, vv);
-    scatter_acc(pend[0].idx15, pend[0].valid, accA);
-    scatter_acc(pend[1].idx15, pend[1].valid, accB);
+    j52_madd_n<PEND>(C, pp, pxN, pyN, vv);
+    for (int a = 0; a < PEND; a++)
+      scatter_acc(pend[a].idx15, pend[a].valid, acc[a]);
   }
-  if (npend) flush_one(pend[0]);
+  for (int a = 0; a < npend; a++) flush_one(pend[a]);
   // suffix combine: wins = sum_d d * bucket[d], lanes independent
   J52 run, tot;
   memset(&run, 0, sizeof(run));
@@ -2572,11 +2578,13 @@ static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
     pxm52 = px52s.data();
     pym52 = py52s.data();
   }
-  // Window width: byte digits + Jacobian buckets for small n; batch-affine
-  // with 11-bit (24 windows = 3 full lane groups) or 12-bit digits once the
-  // batch inversion amortizes.  Affine batching needs enough buckets that
-  // intra-batch collisions stay rare, hence no c=8 affine tier.
-  int c = n < ((size_t)1 << 17) ? 8 : 12;
+  // Window width: byte digits (4 lane groups, 256-entry buckets) while the
+  // suffix combine would dominate; 11-bit digits (24 windows = 3 full lane
+  // groups, 2^11-entry buckets ~ 1.9 MB/group) once n amortizes the longer
+  // suffix — measured fastest at BOTH 2^16 and 2^20 on this box (the 25%
+  // fewer bucket passes beat the L2->L3 gather spill once the lazy madd
+  // shortened the compute chains).  Crossover n ~ 2^15 by op count.
+  int c = n < ((size_t)1 << 15) ? 8 : 11;
   if (const char *cenv = getenv("H2T_MSM_C")) c = atoi(cenv);
   const int W = (254 + c - 1) / c;
   const int ngroups = (W + 7) / 8;
@@ -2590,38 +2598,58 @@ static void msm_ifma(const Fp4 *px_m, const Fp4 *py_m, const u64 *scalars,
   }
   G1 wins[32];
   for (auto &w : wins) w.inf = true;
-  auto run_group = [&](int g) {
+  // 2 interleaved madd streams measured best once the lazy-reduction madd
+  // shortened the serial carry chains (3 streams spill past the 32-zmm file)
+  int pend_depth = 2;
+  if (const char *pe = getenv("H2T_MSM_PEND")) pend_depth = atoi(pe);
+  auto run_group = [&](int g, const u64 *px, const u64 *py, const u64 *sc,
+                       size_t cnt, G1 *w8) {
     // The batch-affine path measured SLOWER than the interleaved Jacobian
     // madd on this 2-core part (gathers + per-row batch machinery outweigh
     // the 11->6 mul saving); it stays available for wider parts via
     // H2T_MSM_AFFINE=1.  The LAST group always runs Jacobian: its narrow
     // top window (1-2 bit digit space) would collapse the batch-affine
     // deferral into a quadratic retry storm.
-    if (c == 8 || g == ngroups - 1 || !getenv("H2T_MSM_AFFINE"))
-      msm_ifma_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
-    else
-      msm_affine_group(pxm52, pym52, sc_use, n, c, g, wins + 8 * g);
+    if (c == 8 || g == ngroups - 1 || !getenv("H2T_MSM_AFFINE")) {
+      switch (pend_depth) {
+        case 2: msm_ifma_group<2>(px, py, sc, cnt, c, g, w8); break;
+        case 4: msm_ifma_group<4>(px, py, sc, cnt, c, g, w8); break;
+        default: msm_ifma_group<3>(px, py, sc, cnt, c, g, w8); break;
+      }
+    } else {
+      msm_affine_group(px, py, sc, cnt, c, g, w8);
+    }
   };
   int nt = use_threads ? num_threads() : 1;
-  if (nt > ngroups) nt = ngroups;
-  if (nt <= 1 || n < 512) {
-    for (int g = 0; g < ngroups; g++) run_group(g);
-  } else if (nt == 2 && ngroups == 3 && c != 8) {
-    // cost-aware split: the Jacobian last group costs ~2x an affine group
-    std::vector<std::thread> threads;
-    threads.emplace_back([&]() { run_group(ngroups - 1); });
-    threads.emplace_back([&]() {
-      run_group(0);
-      run_group(1);
-    });
-    for (auto &th : threads) th.join();
+  if (n < 2048) nt = 1;
+  if (nt <= 1) {
+    for (int g = 0; g < ngroups; g++)
+      run_group(g, pxm52, pym52, sc_use, n, wins + 8 * g);
   } else {
+    // Point-split: each thread runs ALL window groups over its own point
+    // slice into private window sums; per-thread sums merge by MSM
+    // linearity with 32*(nt-1) scalar Jacobian adds.  Unlike the previous
+    // group-per-thread split this balances perfectly for any (ngroups, nt)
+    // — wall time is ngroups*n/nt point-adds instead of
+    // ceil(ngroups/nt)*n (25% fewer at c=12 on 2 cores).
+    std::vector<G1> tw((size_t)nt * 32);
+    for (auto &w : tw) w.inf = true;
     std::vector<std::thread> threads;
-    for (int t = 0; t < nt; t++)
-      threads.emplace_back([&, t]() {
-        for (int g = t; g < ngroups; g += nt) run_group(g);
+    size_t step = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      size_t lo = std::min(n, (size_t)t * step), hi = std::min(n, lo + step);
+      if (lo >= hi) continue;
+      threads.emplace_back([&, t, lo, hi]() {
+        for (int g = 0; g < ngroups; g++)
+          run_group(g, pxm52 + 5 * lo, pym52 + 5 * lo, sc_use + 4 * lo,
+                    hi - lo, tw.data() + 32 * t + 8 * g);
       });
+    }
     for (auto &th : threads) th.join();
+    for (int t = 0; t < nt; t++)
+      for (int w = 0; w < 32; w++)
+        if (!tw[(size_t)32 * t + w].inf)
+          g1_add(wins[w], wins[w], tw[(size_t)32 * t + w]);
   }
   // Horner over the W c-bit windows
   G1 acc;
@@ -2771,6 +2799,79 @@ int h2t_msm_g1_mont(const u64 *px_m, const u64 *py_m, const u64 *scalars,
   memcpy(out, ox.l, 32);
   memcpy(out + 4, oy.l, 32);
   return 0;
+}
+
+// Precompute the Montgomery-52 lane form of a fixed point set (the SRS is
+// fixed across every commit of a proof — converting per MSM call wastes a
+// full pass over n).  px52/py52: (n, 5) u64, all-zero rows = infinity.
+// Returns 0, or -1 when built without IFMA (caller falls back).
+int h2t_points_to52(const u64 *px_m, const u64 *py_m, size_t n, u64 *px52,
+                    u64 *py52) {
+#ifdef H2T_IFMA
+  const Fp4 *vx = (const Fp4 *)px_m, *vy = (const Fp4 *)py_m;
+  auto work = [&](size_t lo, size_t hi) {
+    for (size_t e = lo; e < hi; e++) {
+      if (fp_is_zero(vx[e]) && fp_is_zero(vy[e])) {
+        memset(px52 + 5 * e, 0, 40);
+        memset(py52 + 5 * e, 0, 40);
+      } else {
+        mont64_to_lane(FQ, vx[e], px52 + 5 * e);
+        mont64_to_lane(FQ, vy[e], py52 + 5 * e);
+      }
+    }
+  };
+  int nt = num_threads();
+  if (nt <= 1 || n < 4096) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    size_t step = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      size_t lo = std::min(n, (size_t)t * step), hi = std::min(n, lo + step);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return 0;
+#else
+  (void)px_m;
+  (void)py_m;
+  (void)n;
+  (void)px52;
+  (void)py52;
+  return -1;
+#endif
+}
+
+// MSM over precomputed 52-lane points (see h2t_points_to52); scalars and
+// output as in h2t_msm_g1_mont.  Returns -1 without IFMA.
+int h2t_msm_g1_mont52(const u64 *px52, const u64 *py52, const u64 *scalars,
+                      size_t n, u64 *out) {
+#ifdef H2T_IFMA
+  G1 r;
+  msm_ifma(nullptr, nullptr, scalars, n, r, px52, py52);
+  Fp4 ox = {{0, 0, 0, 0}}, oy = {{0, 0, 0, 0}};
+  if (!r.inf && !fp_is_zero(r.Z)) {
+    Fp4 zi, zi2, zi3;
+    fp_inv(FQ, r.Z, zi);
+    fp_sqr(FQ, zi, zi2);
+    fp_mul(FQ, zi2, zi, zi3);
+    fp_mul(FQ, r.X, zi2, ox);
+    fp_mul(FQ, r.Y, zi3, oy);
+    fp_from_mont(FQ, ox, ox);
+    fp_from_mont(FQ, oy, oy);
+  }
+  memcpy(out, ox.l, 32);
+  memcpy(out + 4, oy.l, 32);
+  return 0;
+#else
+  (void)px52;
+  (void)py52;
+  (void)scalars;
+  (void)n;
+  (void)out;
+  return -1;
+#endif
 }
 
 // Batched MSM: nb scalar vectors over the SAME points (the per-phase commit
