@@ -1323,6 +1323,75 @@ static inline void v52_mul_n(const Ctx52 &C, const V52 *a, const V52 *b,
   }
 }
 
+// N-way interleaved Montgomery SQUARING: the 5x5 product halves its cross
+// terms (10 pairs computed once and doubled, plus 5 diagonals: 30 IFMA vs
+// the multiply's 50), then the standard 5-round m*p reduction runs on the
+// completed accumulator row.  Same output bound as v52_mul_n (ab/2^260 + p).
+// Accumulator magnitudes: product limbs < 2^55.2 (<= 4 cross halves doubled
+// + 2 diagonal halves), reduction adds < 10*2^52 -> < 2^55.8, safely u64.
+template <int N>
+static inline void v52_sqr_n(const Ctx52 &C, const V52 *a, V52 *o) {
+  const __m512i mask = MASK52;
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i n0 = bcast(C.n0);
+  __m512i p0 = bcast(C.p[0]), p1 = bcast(C.p[1]), p2 = bcast(C.p[2]),
+          p3 = bcast(C.p[3]), p4 = bcast(C.p[4]);
+  __m512i t[N][10];
+  for (int s = 0; s < N; s++) {
+    // cross products i < j
+    for (int k = 0; k < 10; k++) t[s][k] = zero;
+    for (int i = 0; i < 4; i++) {
+      __m512i ai = a[s].l[i];
+      for (int j = i + 1; j < 5; j++) {
+        t[s][i + j] = _mm512_madd52lo_epu64(t[s][i + j], ai, a[s].l[j]);
+        t[s][i + j + 1] = _mm512_madd52hi_epu64(t[s][i + j + 1], ai, a[s].l[j]);
+      }
+    }
+    // double the cross part, then add diagonals
+    for (int k = 1; k < 10; k++) t[s][k] = _mm512_add_epi64(t[s][k], t[s][k]);
+    for (int i = 0; i < 5; i++) {
+      __m512i ai = a[s].l[i];
+      t[s][2 * i] = _mm512_madd52lo_epu64(t[s][2 * i], ai, ai);
+      t[s][2 * i + 1] = _mm512_madd52hi_epu64(t[s][2 * i + 1], ai, ai);
+    }
+  }
+  // Montgomery reduction, 5 rounds, interleaved across the N streams
+  for (int r = 0; r < 5; r++) {
+    __m512i m[N];
+    for (int s = 0; s < N; s++)
+      m[s] = _mm512_and_si512(_mm512_madd52lo_epu64(zero, t[s][r], n0), mask);
+    for (int s = 0; s < N; s++) {
+      t[s][r] = _mm512_madd52lo_epu64(t[s][r], m[s], p0);
+      __m512i carry = _mm512_srli_epi64(t[s][r], 52);
+      t[s][r + 1] = _mm512_add_epi64(t[s][r + 1], carry);
+      t[s][r + 1] = _mm512_madd52lo_epu64(t[s][r + 1], m[s], p1);
+      t[s][r + 2] = _mm512_madd52lo_epu64(t[s][r + 2], m[s], p2);
+      t[s][r + 3] = _mm512_madd52lo_epu64(t[s][r + 3], m[s], p3);
+      t[s][r + 4] = _mm512_madd52lo_epu64(t[s][r + 4], m[s], p4);
+      t[s][r + 1] = _mm512_madd52hi_epu64(t[s][r + 1], m[s], p0);
+      t[s][r + 2] = _mm512_madd52hi_epu64(t[s][r + 2], m[s], p1);
+      t[s][r + 3] = _mm512_madd52hi_epu64(t[s][r + 3], m[s], p2);
+      t[s][r + 4] = _mm512_madd52hi_epu64(t[s][r + 4], m[s], p3);
+      t[s][r + 5] = _mm512_madd52hi_epu64(t[s][r + 5], m[s], p4);
+    }
+  }
+  for (int s = 0; s < N; s++) {
+    __m512i c;
+    c = _mm512_srli_epi64(t[s][5], 52);
+    o[s].l[0] = _mm512_and_si512(t[s][5], mask);
+    t[s][6] = _mm512_add_epi64(t[s][6], c);
+    c = _mm512_srli_epi64(t[s][6], 52);
+    o[s].l[1] = _mm512_and_si512(t[s][6], mask);
+    t[s][7] = _mm512_add_epi64(t[s][7], c);
+    c = _mm512_srli_epi64(t[s][7], 52);
+    o[s].l[2] = _mm512_and_si512(t[s][7], mask);
+    t[s][8] = _mm512_add_epi64(t[s][8], c);
+    c = _mm512_srli_epi64(t[s][8], 52);
+    o[s].l[3] = _mm512_and_si512(t[s][8], mask);
+    o[s].l[4] = _mm512_add_epi64(t[s][9], c);
+  }
+}
+
 // conditional subtract of a 5x52 constant: o = (a >= k) ? a - k : a
 static inline void v52_condsub(const u64 k[5], V52 &a) {
   const __m512i mask = MASK52;
@@ -1789,7 +1858,12 @@ static void j52_madd_n(const Ctx52 &C, J52 *const *pp, const V52 *px,
     }                                  \
     v52_mul_n<NS>(C, a2, b2, dst);     \
   }
-  MULN(z1z1, pp[s]->Z, pp[s]->Z)
+#define SQRN(dst, sa)                  \
+  {                                    \
+    for (int s = 0; s < NS; s++) a2[s] = (sa); \
+    v52_sqr_n<NS>(C, a2, dst);         \
+  }
+  SQRN(z1z1, pp[s]->Z)
   MULN(u2, px[s], z1z1[s])
   MULN(t0, pp[s]->Z, z1z1[s])
   MULN(s2, py[s], t0[s])
@@ -1797,7 +1871,7 @@ static void j52_madd_n(const Ctx52 &C, J52 *const *pp, const V52 *px,
     p_inf_n[s] = v52_is_zero(C, z1z1[s]);
     v52_sub_lazy(C.p8, u2[s], pp[s]->X, h[s]);
   }
-  MULN(hh, h[s], h[s])
+  SQRN(hh, h[s])
   for (int s = 0; s < NS; s++) {
     h_zero_n[s] = v52_is_zero(C, hh[s]);
     v52_add_lazy(hh[s], hh[s], i4[s]);
@@ -1809,7 +1883,7 @@ static void j52_madd_n(const Ctx52 &C, J52 *const *pp, const V52 *px,
     v52_sub_lazy(C.p8, s2[s], pp[s]->Y, r1[s]);
     v52_add_lazy(r1[s], r1[s], rr[s]);
   }
-  MULN(x3, rr[s], rr[s])
+  SQRN(x3, rr[s])
   MULN(t1, pp[s]->Y, j[s])
   for (int s = 0; s < NS; s++) {
     {  // rr == 0 iff rr^2 == 0 (no zero divisors); reduce < 2p then test
@@ -1872,6 +1946,7 @@ static void j52_madd_n(const Ctx52 &C, J52 *const *pp, const V52 *px,
     }
   }
 #undef MULN
+#undef SQRN
 }
 
 // complete mixed add: p += (px, py) on lanes where `valid`; px/py never
@@ -1890,10 +1965,8 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
   V52 z1z1, z2z2, u1, u2, s1, s2, h, r1, rr, i4, j, v, t0, t1, x3, y3, z3;
   V52 a2[2], b2[2], o2[2];
   a2[0] = p.Z;
-  b2[0] = p.Z;
   a2[1] = q.Z;
-  b2[1] = q.Z;
-  v52_mul_n<2>(C, a2, b2, o2);  // z1z1 | z2z2
+  v52_sqr_n<2>(C, a2, o2);  // z1z1 | z2z2
   z1z1 = o2[0];
   z2z2 = o2[1];
   a2[0] = p.X;
@@ -1991,6 +2064,78 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
 // window-loop (measured round 5) — used by every commit in the prover.
 static const int MSM_PLANES = 15;  // X0..4, Y5..9, Z10..14
 
+// 8x8 u64 transpose: out[j] holds element j of each input row
+static inline void transpose8x8(const __m512i r[8], __m512i o[8]) {
+  __m512i t[8], s[8];
+  for (int k = 0; k < 4; k++) {
+    t[2 * k] = _mm512_unpacklo_epi64(r[2 * k], r[2 * k + 1]);
+    t[2 * k + 1] = _mm512_unpackhi_epi64(r[2 * k], r[2 * k + 1]);
+  }
+  s[0] = _mm512_shuffle_i64x2(t[0], t[2], 0x88);
+  s[1] = _mm512_shuffle_i64x2(t[1], t[3], 0x88);
+  s[2] = _mm512_shuffle_i64x2(t[0], t[2], 0xDD);
+  s[3] = _mm512_shuffle_i64x2(t[1], t[3], 0xDD);
+  s[4] = _mm512_shuffle_i64x2(t[4], t[6], 0x88);
+  s[5] = _mm512_shuffle_i64x2(t[5], t[7], 0x88);
+  s[6] = _mm512_shuffle_i64x2(t[4], t[6], 0xDD);
+  s[7] = _mm512_shuffle_i64x2(t[5], t[7], 0xDD);
+  o[0] = _mm512_shuffle_i64x2(s[0], s[4], 0x88);
+  o[1] = _mm512_shuffle_i64x2(s[1], s[5], 0x88);
+  o[2] = _mm512_shuffle_i64x2(s[2], s[6], 0x88);
+  o[3] = _mm512_shuffle_i64x2(s[3], s[7], 0x88);
+  o[4] = _mm512_shuffle_i64x2(s[0], s[4], 0xDD);
+  o[5] = _mm512_shuffle_i64x2(s[1], s[5], 0xDD);
+  o[6] = _mm512_shuffle_i64x2(s[2], s[6], 0xDD);
+  o[7] = _mm512_shuffle_i64x2(s[3], s[7], 0xDD);
+}
+
+// Read 8 AoS bucket records (15 u64 each) at byte-lane offsets iv[l]*8 into
+// limb-planar J52 form: two unaligned 64B loads per lane (limbs 0..7 and
+// 7..14) + two 8x8 transposes.  Replaces 15 vpgatherqq (~285 uops) with 16
+// plain loads + 48 shuffles — the shuffle port is idle under the IFMA
+// stream, the gather machinery is not.
+static inline void j52_load_recs(const long long *bkp, const long long iv[8],
+                                 J52 &acc) {
+  __m512i r0[8], r1[8], o0[8], o1[8];
+  for (int l = 0; l < 8; l++) {
+    const long long *base = bkp + iv[l];
+    r0[l] = _mm512_loadu_si512((const void *)base);
+    r1[l] = _mm512_loadu_si512((const void *)(base + 7));
+  }
+  transpose8x8(r0, o0);
+  transpose8x8(r1, o1);
+  for (int i = 0; i < 5; i++) acc.X.l[i] = o0[i];
+  acc.Y.l[0] = o0[5];
+  acc.Y.l[1] = o0[6];
+  acc.Y.l[2] = o0[7];
+  acc.Y.l[3] = o1[1];
+  acc.Y.l[4] = o1[2];
+  for (int i = 0; i < 5; i++) acc.Z.l[i] = o1[3 + i];
+}
+
+// Inverse of j52_load_recs for the lanes set in `valid` (two overlapping
+// unaligned 64B stores per lane; limb 7 is written twice with one value).
+static inline void j52_store_recs(long long *bkp, const long long iv[8],
+                                  __mmask8 valid, const J52 &acc) {
+  __m512i p0[8], p1[8], r0[8], r1[8];
+  for (int i = 0; i < 5; i++) p0[i] = acc.X.l[i];
+  p0[5] = acc.Y.l[0];
+  p0[6] = acc.Y.l[1];
+  p0[7] = acc.Y.l[2];
+  p1[0] = acc.Y.l[2];
+  p1[1] = acc.Y.l[3];
+  p1[2] = acc.Y.l[4];
+  for (int i = 0; i < 5; i++) p1[3 + i] = acc.Z.l[i];
+  transpose8x8(p0, r0);
+  transpose8x8(p1, r1);
+  for (int l = 0; l < 8; l++) {
+    if (!((valid >> l) & 1)) continue;
+    long long *base = bkp + iv[l];
+    _mm512_storeu_si512((void *)base, r0[l]);
+    _mm512_storeu_si512((void *)(base + 7), r1[l]);
+  }
+}
+
 // One lane-group of the Pippenger accumulation.  c == 8: digits are scalar
 // bytes, group*8 windows per group (4 groups).  c == 12: digits gathered
 // with per-lane byte offsets + shifts (22 windows, 3 groups; the top window
@@ -2024,38 +2169,47 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
   long long *bkp = (long long *)bk.data();
   // AoS bucket records (15 u64 = X0..4 Y0..4 Z0..4): one record spans 2
   // cache lines vs 15 with planar storage — the difference between L2 and
-  // DRAM behavior once B > 2^8
-  auto gather_acc = [&](const __m512i &idx15, J52 &acc) {
-    for (int i = 0; i < 5; i++) {
-      acc.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(i)), bkp, 8);
-      acc.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), bkp, 8);
-      acc.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), bkp, 8);
-    }
-  };
-  auto scatter_acc = [&](const __m512i &idx15, __mmask8 valid, const J52 &acc) {
-    for (int i = 0; i < 5; i++) {
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(i)), acc.X.l[i], 8);
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(5 + i)), acc.Y.l[i], 8);
-      _mm512_mask_i64scatter_epi64(bkp, valid, _mm512_add_epi64(idx15, _mm512_set1_epi64(10 + i)), acc.Z.l[i], 8);
-    }
-  };
+  // DRAM behavior once B > 2^8.  Records move through j52_load_recs /
+  // j52_store_recs (plain loads + transposes, no gather/scatter uops).
   struct Pend {
     __m512i idx15;
+    alignas(64) long long iv[8];  // per-lane record offsets (idx*15)
     __mmask8 valid;
     const u64 *px, *py;
   };
-  Pend pend[PEND];
-  int npend = 0;
+  // One-batch-delay software pipeline: entries enqueue into the current
+  // batch (issuing bucket-record prefetches when the bucket array spills
+  // L2), and the PREVIOUS full batch is processed only once the current one
+  // fills — giving each prefetch a full batch (~1.5k cycles) of lead before
+  // its gather.  Processing stays FIFO, so conflict semantics are unchanged.
+  struct PendBatch {
+    Pend p[PEND];
+    int n;
+  };
+  PendBatch batches[2];
+  batches[0].n = batches[1].n = 0;
+  int cur = 0;
+  bool prev_full = false;
+  const bool do_prefetch = (size_t)B * 8 * 120 > ((size_t)512 << 10);
+  auto prefetch_rec = [&](const long long iv[8], __mmask8 valid) {
+    for (int l = 0; l < 8; l++) {
+      if (!((valid >> l) & 1)) continue;
+      const char *base = (const char *)(bkp + iv[l]);
+      _mm_prefetch(base, _MM_HINT_T0);
+      _mm_prefetch(base + 64, _MM_HINT_T0);
+      _mm_prefetch(base + 119, _MM_HINT_T0);
+    }
+  };
   auto flush_one = [&](const Pend &P) {
     J52 acc;
-    gather_acc(P.idx15, acc);
+    j52_load_recs(bkp, P.iv, acc);
     V52 pxv, pyv;
     for (int i = 0; i < 5; i++) {
       pxv.l[i] = bcast(P.px[i]);
       pyv.l[i] = bcast(P.py[i]);
     }
     j52_madd(C, acc, pxv, pyv, P.valid);
-    scatter_acc(P.idx15, P.valid, acc);
+    j52_store_recs(bkp, P.iv, P.valid, acc);
   };
   for (size_t e = 0; e < n; e++) {
     const u64 *sc = scalars + 4 * e;
@@ -2091,57 +2245,66 @@ static void msm_ifma_group(const u64 *pxm52, const u64 *pym52,
           abort();
         }
     }
-    pend[npend].idx15 = _mm512_sub_epi64(_mm512_slli_epi64(idx, 4), idx);
-    pend[npend].valid = valid;
-    pend[npend].px = pxe;
-    pend[npend].py = pye;
-    npend++;
-    if (npend < PEND) continue;
-    npend = 0;
-    // same-bucket conflict among the pending points -> serialize (rare)
-    bool conf = false;
-    for (int a = 0; a < PEND && !conf; a++)
-      for (int b = a + 1; b < PEND; b++)
-        if (pend[a].valid & pend[b].valid &
-            _mm512_cmpeq_epu64_mask(pend[a].idx15, pend[b].idx15)) {
-          conf = true;
-          break;
+    {
+      PendBatch &bc = batches[cur];
+      Pend &pe = bc.p[bc.n];
+      pe.idx15 = _mm512_sub_epi64(_mm512_slli_epi64(idx, 4), idx);
+      _mm512_store_si512((void *)pe.iv, pe.idx15);
+      pe.valid = valid;
+      pe.px = pxe;
+      pe.py = pye;
+      if (do_prefetch) prefetch_rec(pe.iv, valid);
+      if (++bc.n < PEND) continue;
+    }
+    if (prev_full) {
+      Pend *pend = batches[cur ^ 1].p;
+      // same-bucket conflict among the pending points -> serialize (rare)
+      bool conf = false;
+      for (int a = 0; a < PEND && !conf; a++)
+        for (int b = a + 1; b < PEND; b++)
+          if (pend[a].valid & pend[b].valid &
+              _mm512_cmpeq_epu64_mask(pend[a].idx15, pend[b].idx15)) {
+            conf = true;
+            break;
+          }
+      if (conf) {
+        for (int a = 0; a < PEND; a++) flush_one(pend[a]);
+      } else {
+        J52 acc[PEND];
+        V52 pxN[PEND], pyN[PEND];
+        J52 *pp[PEND];
+        __mmask8 vv[PEND];
+        for (int a = 0; a < PEND; a++) {
+          j52_load_recs(bkp, pend[a].iv, acc[a]);
+          for (int i = 0; i < 5; i++) {
+            pxN[a].l[i] = bcast(pend[a].px[i]);
+            pyN[a].l[i] = bcast(pend[a].py[i]);
+          }
+          pp[a] = &acc[a];
+          vv[a] = pend[a].valid;
         }
-    if (conf) {
-      for (int a = 0; a < PEND; a++) flush_one(pend[a]);
-      continue;
-    }
-    J52 acc[PEND];
-    V52 pxN[PEND], pyN[PEND];
-    J52 *pp[PEND];
-    __mmask8 vv[PEND];
-    for (int a = 0; a < PEND; a++) {
-      gather_acc(pend[a].idx15, acc[a]);
-      for (int i = 0; i < 5; i++) {
-        pxN[a].l[i] = bcast(pend[a].px[i]);
-        pyN[a].l[i] = bcast(pend[a].py[i]);
+        j52_madd_n<PEND>(C, pp, pxN, pyN, vv);
+        for (int a = 0; a < PEND; a++)
+          j52_store_recs(bkp, pend[a].iv, pend[a].valid, acc[a]);
       }
-      pp[a] = &acc[a];
-      vv[a] = pend[a].valid;
     }
-    j52_madd_n<PEND>(C, pp, pxN, pyN, vv);
-    for (int a = 0; a < PEND; a++)
-      scatter_acc(pend[a].idx15, pend[a].valid, acc[a]);
+    prev_full = true;
+    cur ^= 1;
+    batches[cur].n = 0;
   }
-  for (int a = 0; a < npend; a++) flush_one(pend[a]);
+  // drain: the delayed full batch first (FIFO), then the partial one
+  if (prev_full)
+    for (int a = 0; a < PEND; a++) flush_one(batches[cur ^ 1].p[a]);
+  for (int a = 0; a < batches[cur].n; a++) flush_one(batches[cur].p[a]);
   // suffix combine: wins = sum_d d * bucket[d], lanes independent
   J52 run, tot;
   memset(&run, 0, sizeof(run));
   memset(&tot, 0, sizeof(tot));
-  __m512i lane15 = _mm512_sub_epi64(_mm512_slli_epi64(lane_ids, 4), lane_ids);
   for (int d = B - 1; d >= 1; d--) {
     J52 b;
-    __m512i base_d = _mm512_add_epi64(lane15, _mm512_set1_epi64((long long)d * 120));
-    for (int i = 0; i < 5; i++) {
-      b.X.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(i)), bkp, 8);
-      b.Y.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(5 + i)), bkp, 8);
-      b.Z.l[i] = _mm512_i64gather_epi64(_mm512_add_epi64(base_d, _mm512_set1_epi64(10 + i)), bkp, 8);
-    }
+    alignas(64) long long ivs[8];
+    for (int l = 0; l < 8; l++) ivs[l] = (long long)d * 120 + l * 15;
+    j52_load_recs(bkp, ivs, b);
     j52_add(C, run, b);
     j52_add(C, tot, run);
   }
