@@ -766,11 +766,14 @@ def _hybrid_device_frac(n: int) -> float:
     # Round-5 sweep on v5e + 2-core IFMA host: the device dispatch has a
     # ~120-150 ms floor at any slice size (q accumulation rounds + tunnel
     # RTT + the size-independent Abel combine), so below ~2^17 points the
-    # host IFMA Pippenger alone is fastest; above that the measured balance
-    # point sits near 0.42 (NOTES_ROUND5).
+    # host IFMA Pippenger alone is fastest.  Above that, balance the slice
+    # so both finish together: with the lazy-reduction host Pippenger at
+    # ~1.0 s/2^20 and the device at ~2.13 s/2^20 + 0.13 s floor,
+    # f = (1.00 - 0.13) / (2.13 + 1.00) ~ 0.28 (was 0.42 before the
+    # round-5 host MSM rework made the host 1.6x faster).
     if n < (1 << 17):
         return 0.0
-    return 0.42
+    return 0.28
 
 
 # 52-bit lane forms of host point mirrors, keyed by (id, slice) — the SRS

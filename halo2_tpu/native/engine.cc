@@ -1988,18 +1988,23 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
   v52_mul_n<2>(C, a2, b2, o2);  // s1 | s2
   s1 = o2[0];
   s2 = o2[1];
-  v52_sub(C, u2, u1, h);
-  v52_sub(C, s2, s1, r1);
-  v52_add(C, r1, r1, rr);
+  // lazy reduction (see j52_madd_n): interval walk with X/Y/Z < 8p inputs
+  // keeps every intermediate below 9.1p < 2^260 with NO conditional
+  // subtracts; stored outputs land < 7.5p.  Zero tests move to the squares
+  // (h^2, rr^2 — mul outputs < 2p, computed by the formula anyway).
+  v52_sub_lazy(C.p2, u2, u1, h);        // h < 3.2p
+  v52_sub_lazy(C.p2, s2, s1, r1);       // r1 < 3.04p
+  v52_add_lazy(r1, r1, rr);             // rr < 6.1p
   a2[0] = h;
   b2[0] = h;
   a2[1] = p.Z;
   b2[1] = q.Z;
   v52_mul_n<2>(C, a2, b2, o2);  // h^2 | z1*z2
   t0 = o2[0];
+  __mmask8 h_zero = v52_is_zero(C, t0);  // h == 0 iff h^2 == 0 (< 1.2p)
   V52 zz = o2[1];
-  v52_add(C, t0, t0, i4);
-  v52_add(C, i4, i4, i4);
+  v52_add_lazy(t0, t0, i4);
+  v52_add_lazy(i4, i4, i4);             // i4 < 4.6p
   a2[0] = h;
   b2[0] = i4;
   a2[1] = u1;
@@ -2013,28 +2018,27 @@ static void j52_add(const Ctx52 &C, J52 &p, const J52 &q) {
   b2[1] = j;
   v52_mul_n<2>(C, a2, b2, o2);  // rr^2 | s1*j
   x3 = o2[0];
+  __mmask8 r_zero = v52_is_zero(C, x3);  // rr == 0 iff rr^2 == 0 (< 1.5p)
   t1 = o2[1];
-  v52_sub(C, x3, j, x3);
-  v52_add(C, v, v, t0);
-  v52_sub(C, x3, t0, x3);
-  v52_sub(C, v, x3, t0);
-  v52_add(C, zz, zz, zz);
+  v52_sub_lazy(C.p2, x3, j, x3);        // < 3.45p
+  v52_add_lazy(v, v, t0);               // 2v < 2.14p
+  v52_sub_lazy(C.p4, x3, t0, x3);       // stored X < 7.45p
+  v52_sub_lazy(C.p8, v, x3, t0);        // < 9.1p
+  v52_add_lazy(zz, zz, zz);             // < 3.6p
   a2[0] = rr;
   b2[0] = t0;
   a2[1] = zz;
   b2[1] = h;
   v52_mul_n<2>(C, a2, b2, o2);  // rr*(v-x3) | 2*z1*z2*h
   t0 = o2[0];
-  z3 = o2[1];
-  v52_add(C, t1, t1, t1);
-  v52_sub(C, t0, t1, y3);
+  z3 = o2[1];                           // stored Z < 1.2p
+  v52_add_lazy(t1, t1, t1);             // < 2.04p
+  v52_sub_lazy(C.p4, t0, t1, y3);       // stored Y < 5.7p
 
   // infinity tests on the SQUARES (mul outputs, < 2p) — the raw Z inputs may
   // sit anywhere < 8p under the lazy-reduction bucket invariant
   __mmask8 p_inf = v52_is_zero(C, z1z1);
   __mmask8 q_inf = v52_is_zero(C, z2z2);
-  __mmask8 h_zero = v52_is_zero(C, h);
-  __mmask8 r_zero = v52_is_zero(C, rr);
   __mmask8 same = h_zero & r_zero & ~p_inf & ~q_inf;
 
   J52 out;

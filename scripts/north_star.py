@@ -26,6 +26,14 @@ def main() -> dict:
     ap.add_argument("--depth", type=int, default=15)
     ap.add_argument("--no-pk-cache", action="store_true")
     ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="prove N times in-process and report each prove time; the first "
+        "device-backend prove pays XLA program load through the tunnel "
+        "(~minutes), later proves are steady-state dispatch",
+    )
+    ap.add_argument(
         "--profile-dir",
         default=os.environ.get("HALO2_TPU_PROFILE"),
         help="capture a jax.profiler trace of the prove phase into this dir "
@@ -108,12 +116,17 @@ def main() -> dict:
         if args.profile_dir
         else contextlib.nullcontext()
     )
-    t0 = time.perf_counter()
-    with prof:
-        proof = create_proof(
-            params, pk, circuit, [list(public_input)], rng=random.Random(7)
-        )
-    proof_time = time.perf_counter() - t0
+    prove_times = []
+    for rep in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        with (prof if rep == 0 else contextlib.nullcontext()):
+            proof = create_proof(
+                params, pk, circuit, [list(public_input)], rng=random.Random(7)
+            )
+        prove_times.append(time.perf_counter() - t0)
+        if args.repeat > 1:
+            print(f"prove rep {rep}: {prove_times[-1]:.3f}s", flush=True)
+    proof_time = prove_times[-1]  # steady state (first rep pays program load)
     if args.profile_dir:
         print(f"profiler trace written to {args.profile_dir}", flush=True)
 
@@ -140,6 +153,7 @@ def main() -> dict:
         "keygen_vk_s": round(vk_time, 3) if vk_time is not None else None,
         "keygen_pk_s": round(pk_time, 3) if pk_time is not None else None,
         "prove_s": round(proof_time, 3),
+        "prove_reps_s": [round(t, 3) for t in prove_times] if args.repeat > 1 else None,
         "verify_s": round(verify_time, 3),
         "proof_bytes": len(proof),
         "phases": {p: round(v, 3) for p, v in PHASE_TIMINGS.items()},
