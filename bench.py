@@ -71,10 +71,12 @@ def bench_msm():
     np.asarray(out["x"])
     log(f"MSM compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    # median of 5: the tunnel occasionally injects multi-hundred-ms latency
-    # spikes (round-4 sweep observed a 10x outlier) that wreck a mean
+    # median of 9: the tunnel occasionally injects multi-hundred-ms latency
+    # spikes and the VM sees intermittent external core-stealing (round-5:
+    # ±10% run-to-run on a quiet box) that wreck a mean; at 2^16 the MSM is
+    # host-only so the extra reps cost ~0.3 s total
     ts = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         out = run()
         np.asarray(out["x"])
@@ -177,7 +179,7 @@ def bench_msm_2_20():
     out = run()
     np.asarray(out["x"])  # compile+warm (sync via readback, see bench_msm)
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = run()
         np.asarray(out["x"])
