@@ -699,7 +699,11 @@ def _encode_host_jac(pt):
     if pt is None:
         return jac_infinity(())
     X, Y, Z = pt
-    enc = d.encode([X, Y, Z])
+    # Host-side encode: the point was computed on the host, and shipping it
+    # through the device (encode -> upload, caller readback -> download)
+    # costs two tunnel round-trips per MSM.  Numpy limbs are valid jax
+    # inputs for any downstream device op and free to read back.
+    enc = d.encode_np([X, Y, Z])
     return jac(enc[:, 0], enc[:, 1], enc[:, 2])
 
 
